@@ -1,0 +1,308 @@
+"""Frontier wave algebra (SURVEY.md §2.1 F1-F9) — pure DataFrame transforms.
+
+Semantics reproduced from kelleszzz/BingCrawler (file:line cites per op):
+
+F1 pop order         UrlsDbManager.java:389-408 — secondary-cursor getLast on
+   the weight index; BDB duplicates sort by primary key bytes ascending, so
+   getLast ⇒ (weight DESC, url DESC) — reproduced as an explicit sort spec.
+F2 dedup-insert      UrlsDbManager.java:541-618 — existence check (seen, then
+   frontier) BEFORE depth check; a duplicate attempt appends its referrer to
+   the existing row (even if its own depth exceeds the cap); a NEW insert
+   does NOT record its own referrer (the constructor never adds it — quirk
+   preserved): referrers of a new url = attempts strictly AFTER the winning
+   insert, in (pop_rank, link_pos) order.
+F3 depth cap         UrlsDbManager.java:592-601 — child rejected iff
+   parent.depth+1 > max_depth (parent looked up in the settled set; waves
+   settle parents before inserting children, so the lookup always hits).
+F4 settle            UrlsDbManager.java:346-381 — pop-set leaves the
+   frontier and enters seen with statusCode (+ simhash, F6 :292-297).
+F10 politeness       generalizes maxThreads=5 (AbstractParser.java:136) into
+   per-host per-wave budgets (north rule); skew-proofed by two-phase salted
+   top-k (no single hot-host window partition).
+
+Every transform here is JVM-side (no UDFs) — candidates arrive already
+canonicalized/parsed from the extract UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from bingcrawler_spark.functions.canon import canon_url_col, host_name_col
+
+DEFAULT_WEIGHT = 100  # CrawlUrl.java:12
+DEFAULT_MAX_DEPTH = 3  # AbstractParser.java:138
+
+FRONTIER_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("weight", T.IntegerType(), False),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("discovery_wave", T.IntegerType(), False),
+        T.StructField("referrers", T.ArrayType(T.StringType()), False),
+    ]
+)
+
+SEEN_SCHEMA = T.StructType(
+    FRONTIER_SCHEMA.fields
+    + [
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("simhash", T.LongType(), True),
+        T.StructField("settle_wave", T.IntegerType(), True),
+    ]
+)
+
+def _pop_order():
+    return [F.col("weight").desc(), F.col("url").desc()]
+
+
+def empty_frontier(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], FRONTIER_SCHEMA)
+
+
+def empty_seen(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], SEEN_SCHEMA)
+
+
+def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> DataFrame:
+    """Seed injection (F12, BingParser.java:81-107): canon + default fields."""
+    seed_schema = T.StructType(
+        [
+            T.StructField("raw_url", T.StringType(), False),
+            T.StructField("weight", T.IntegerType(), False),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(u, int(w), i) for i, (u, w) in enumerate(seeds)],
+        seed_schema.add("seed_pos", T.IntegerType(), False),
+    )
+    # first occurrence wins (putUrl: later duplicates are KEYEXIST no-ops)
+    w_first = W.partitionBy("url").orderBy("seed_pos")
+    return (
+        df.select(
+            canon_url_col(F.col("raw_url")).alias("url"),
+            F.col("weight").cast("int"),
+            "seed_pos",
+        )
+        .withColumn("_rn", F.row_number().over(w_first))
+        .where(F.col("_rn") == 1)
+        .withColumn("host", host_name_col(F.col("url")))
+        .withColumn("depth", F.lit(0))
+        .withColumn("discovery_wave", F.lit(0))
+        .withColumn("referrers", F.array().cast("array<string>"))
+        .select([f.name for f in FRONTIER_SCHEMA.fields])
+    )
+
+
+# --------------------------------------------------------------------- F1
+
+
+def pop_wave(
+    frontier: DataFrame,
+    wave_size: int,
+    robots: DataFrame | None = None,
+    default_budget: int | None = None,
+    min_weight: int | None = None,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Select this wave's pop set: per-host politeness budget (two-phase
+    salted top-k so one hot host can't serialize a window partition), then a
+    global top-`wave_size` in (weight DESC, url DESC) order. Adds `pop_rank`
+    (1-based position in the reference's sequential pop order).
+
+    min_weight mirrors the scheduler's priorityBottomLine cutoff
+    (TaskWeightDbManager.java:79)."""
+    f = frontier
+    if min_weight is not None:
+        f = f.where(F.col("weight") >= F.lit(min_weight))
+    if robots is not None or default_budget is not None:
+        budget = F.coalesce(F.col("crawl_budget"), F.lit(default_budget or 1 << 30))
+        if robots is not None:
+            f = f.join(
+                F.broadcast(robots.select("host", "crawl_budget")), "host", "left"
+            )
+        else:
+            f = f.withColumn("crawl_budget", F.lit(None).cast("int"))
+        # phase 1: top-budget within (host, salt) — bounded partitions
+        salt = F.pmod(F.xxhash64("url"), F.lit(n_salts))
+        w1 = W.partitionBy("host", salt).orderBy(*_pop_order())
+        f = f.withColumn("_r1", F.row_number().over(w1)).where(
+            F.col("_r1") <= budget
+        )
+        # phase 2: exact top-budget per host over ≤ budget*n_salts survivors
+        w2 = W.partitionBy("host").orderBy(*_pop_order())
+        f = (
+            f.withColumn("_r2", F.row_number().over(w2))
+            .where(F.col("_r2") <= budget)
+            .drop("_r1", "_r2", "crawl_budget")
+        )
+    # global top-k compiles to TakeOrderedAndProject (no full sort at scale)
+    top = f.orderBy(*_pop_order()).limit(wave_size)
+    w = W.orderBy(*_pop_order())  # k rows only — single partition is fine
+    return top.withColumn("pop_rank", F.row_number().over(w))
+
+
+# --------------------------------------------------------------------- F4
+
+
+def settle(
+    popped_results: DataFrame, seen: DataFrame, wave: int
+) -> DataFrame:
+    """popped_results: frontier cols + pop_rank + status + simhash.
+    Returns the new seen set (old ∪ settled wave)."""
+    settled = popped_results.select(
+        "url",
+        "host",
+        "weight",
+        "depth",
+        "discovery_wave",
+        "referrers",
+        F.col("status").cast("int"),
+        F.col("simhash").cast("long"),
+        F.lit(wave).cast("int").alias("settle_wave"),
+    )
+    return seen.unionByName(settled)
+
+
+# --------------------------------------------------------------------- F2/F3
+
+
+def make_candidates(
+    parsed: DataFrame,
+    child_weight: Column | None = None,
+) -> DataFrame:
+    """parsed: url, depth, pop_rank, links(array). One row per (parent, link
+    position): canon (P1, CrawlUrl.java:88-89) + child depth/weight."""
+    cand = parsed.select(
+        F.col("url").alias("parent_url"),
+        F.col("pop_rank"),
+        F.col("depth").alias("parent_depth"),
+        F.posexplode_outer("links").alias("link_pos", "raw_link"),
+    ).where(F.col("raw_link").isNotNull())
+    cand = cand.withColumn("curl", canon_url_col(F.col("raw_link")))
+    w = child_weight if child_weight is not None else F.lit(DEFAULT_WEIGHT)
+    return (
+        cand.withColumn("child_depth", F.col("parent_depth") + 1)
+        .withColumn("child_weight", w.cast("int"))
+        .drop("raw_link")
+    )
+
+
+def robots_filter(cand: DataFrame, robots: DataFrame) -> DataFrame:
+    """Drop candidates whose path matches a disallowed prefix for its host
+    (north-rule addition; broadcast join — robots is a small dim table)."""
+    host = host_name_col(F.col("curl"))
+    path = F.regexp_extract(F.col("curl"), r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    joined = cand.withColumn("_host", host).withColumn("_path", path).join(
+        F.broadcast(robots.select(F.col("host").alias("_host"), "disallow_prefixes")),
+        "_host",
+        "left",
+    )
+    allowed = F.col("disallow_prefixes").isNull() | ~F.exists(
+        "disallow_prefixes", lambda p: F.col("_path").startswith(p)
+    )
+    return joined.where(allowed).drop("_host", "_path", "disallow_prefixes")
+
+
+def dedup_insert(
+    cand: DataFrame,
+    frontier_rest: DataFrame,
+    seen: DataFrame,
+    wave: int,
+    max_depth: int | None = DEFAULT_MAX_DEPTH,
+    bloom=None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """F2: returns (new_frontier_rows, frontier_with_referrer_appends,
+    seen_with_referrer_appends).
+
+    cand: parent_url, pop_rank, link_pos, curl, child_depth, child_weight.
+    frontier_rest: frontier minus this wave's pop set. seen: post-settle.
+    bloom: optional ShardedBloom over seen∪frontier urls — negatives skip
+    the exact anti-join (SURVEY.md §4.1)."""
+    # -- referrer appends on existing rows (existence precedes depth check) --
+    ref_updates = cand.groupBy(F.col("curl").alias("url")).agg(
+        F.collect_set("parent_url").alias("_new_refs")
+    )
+
+    def with_refs(state: DataFrame) -> DataFrame:
+        j = state.join(ref_updates, "url", "left")
+        merged = F.when(
+            F.col("_new_refs").isNull(), F.col("referrers")
+        ).otherwise(F.array_sort(F.array_union("referrers", "_new_refs")))
+        return j.withColumn("referrers", merged).drop("_new_refs")
+
+    frontier_upd = with_refs(frontier_rest)
+    seen_upd = with_refs(seen)
+
+    # -- new inserts ---------------------------------------------------------
+    eligible = cand
+    if max_depth is not None:
+        eligible = eligible.where(F.col("child_depth") <= F.lit(max_depth))
+
+    existing = frontier_rest.select("url").unionByName(seen.select("url"))
+    if bloom is not None:
+        flagged = eligible.withColumn("_maybe", bloom.might_contain_col(F.col("curl")))
+        negatives = flagged.where(~F.col("_maybe")).drop("_maybe")
+        positives = (
+            flagged.where(F.col("_maybe"))
+            .drop("_maybe")
+            .join(existing, flagged.curl == existing.url, "left_anti")
+        )
+        fresh = negatives.unionByName(positives)
+    else:
+        fresh = eligible.join(existing, eligible.curl == existing.url, "left_anti")
+
+    # winner = first eligible attempt in the reference's sequential order
+    w = W.partitionBy("curl").orderBy("pop_rank", "link_pos")
+    winners = (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    # referrers of a new url = attempts strictly after the winner (any depth)
+    later = cand.alias("a").join(
+        winners.select(
+            "curl",
+            F.col("pop_rank").alias("_wr"),
+            F.col("link_pos").alias("_wl"),
+        ).alias("b"),
+        "curl",
+    ).where(
+        (F.col("a.pop_rank") > F.col("_wr"))
+        | ((F.col("a.pop_rank") == F.col("_wr")) & (F.col("a.link_pos") > F.col("_wl")))
+    )
+    later_refs = later.groupBy("curl").agg(
+        F.array_sort(F.collect_set("parent_url")).alias("_refs")
+    )
+    new_rows = (
+        winners.join(later_refs, "curl", "left")
+        .select(
+            F.col("curl").alias("url"),
+            host_name_col(F.col("curl")).alias("host"),
+            F.col("child_weight").alias("weight"),
+            F.col("child_depth").alias("depth"),
+            F.lit(wave).cast("int").alias("discovery_wave"),
+            F.coalesce(F.col("_refs"), F.array().cast("array<string>")).alias(
+                "referrers"
+            ),
+        )
+    )
+    return new_rows, frontier_upd, seen_upd
+
+
+# --------------------------------------------------------------------- F5
+
+
+def update_weights(frontier: DataFrame, deltas: DataFrame) -> DataFrame:
+    """MERGE-style weight update (UrlsDbManager.java:272-289): deltas(url,
+    new_weight nullable, weight_delta nullable)."""
+    j = frontier.join(F.broadcast(deltas), "url", "left")
+    new_w = F.coalesce(
+        F.col("new_weight"),
+        F.col("weight") + F.coalesce(F.col("weight_delta"), F.lit(0)),
+    )
+    return j.withColumn("weight", new_w.cast("int")).drop("new_weight", "weight_delta")

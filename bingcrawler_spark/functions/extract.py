@@ -1,0 +1,120 @@
+"""HTML → outlinks / main-text / charset (SURVEY.md §2.3 P4, P5, P6).
+
+Pure-Python reference functions (`py_*`) + vectorized pandas UDF wrappers.
+These are the ONLY Python-side ops in the crawl hot path; everything else is
+JVM column expressions. All UDFs are Arrow-batched (no per-row Python UDFs).
+
+P4 extractLinks — mirrors CommonAnalysis.java:322-362 (kelleszzz/BingCrawler):
+  * visit every tag; tag text matched against ``^a.+href="(.+?)"`` (anchored:
+    any tag whose text STARTS with 'a') else ``i?frame.*src="(.+?)"``
+    (unanchored: any tag containing frame...src — quirks preserved);
+  * links starting '#' or 'javascript' dropped;
+  * links starting '/' resolved against the page's host_url (P2) and
+    fragment-stripped (P1) — absolute links keep fragments HERE (they are
+    canonicalized later at frontier insert, CrawlUrl.java:88-89);
+  * 8-entity unescape (P3) on every accepted link;
+  * reference de-dups into a java.util.HashSet (arbitrary iteration order) —
+    this rebuild returns FIRST-OCCURRENCE document order, a deterministic
+    refinement documented in SURVEY.md §5.
+
+P5 extract_text — the reference calls WebCollector's ContentExtractor from a
+binary jar absent from the repo (CommonAnalysis.java:238-249,
+lib/contentextractor-1.0.jar). Per SURVEY.md §7(b) THIS function is the
+contract: the synthetic pages table stores text := py_extract_text(html), and
+tests re-apply the UDF and assert byte-identical equality per url.
+
+P6 getCharset — mirrors CommonAnalysis.java:540-558 including the greedy
+``charset="(.+)"`` regex (captures to the LAST quote in the document — quirk
+preserved for parity tests); the pipeline itself decodes utf-8/replace.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from bingcrawler_spark.functions.canon import (
+    py_canon_url,
+    py_host_url,
+    py_unescape_entities,
+)
+
+# ------------------------------------------------------------------ P6
+
+_CHARSET_RE = re.compile(r'charset="(.+)"')
+
+
+def py_get_charset(html: str) -> str:
+    m = _CHARSET_RE.search(html)
+    return m.group(1) if m else "utf-8"
+
+
+# ------------------------------------------------------------------ P4
+
+_TAG_RE = re.compile(r"<([^<>]+)>")
+_A_HREF_RE = re.compile(r'^a.+href="(.+?)"')
+_FRAME_SRC_RE = re.compile(r'i?frame.*src="(.+?)"')
+
+
+def py_extract_links(html: str, page_url: str) -> list[str]:
+    """Outlinks in first-occurrence document order, de-duplicated."""
+    host_url = py_host_url(page_url)
+    seen: set[str] = set()
+    out: list[str] = []
+    for m in _TAG_RE.finditer(html):
+        tag = m.group(1)
+        am = _A_HREF_RE.search(tag)
+        link = am.group(1) if am else None
+        if link is None:
+            fm = _FRAME_SRC_RE.search(tag)
+            link = fm.group(1) if fm else None
+        if link is None:
+            continue
+        if link.startswith("#") or link.startswith("javascript"):
+            continue
+        if link.startswith("/"):
+            if not host_url:
+                continue
+            link = py_canon_url(host_url + link)
+        link = py_unescape_entities(link)
+        if link not in seen:
+            seen.add(link)
+            out.append(link)
+    return out
+
+
+# ------------------------------------------------------------------ P5
+
+_SCRIPT_STYLE_RE = re.compile(r"(?is)<(script|style)[^>]*>.*?</\1\s*>")
+_ANY_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def py_extract_text(html: bytes | str) -> str:
+    """THE text-extraction contract (byte-identical invariant, input_hint)."""
+    s = html.decode("utf-8", "replace") if isinstance(html, (bytes, bytearray)) else html
+    s = _SCRIPT_STYLE_RE.sub(" ", s)
+    s = _ANY_TAG_RE.sub(" ", s)
+    s = py_unescape_entities(s)
+    return _WS_RE.sub(" ", s).strip()
+
+
+# ------------------------------------------------------- pandas UDF wrappers
+
+
+@F.pandas_udf(T.StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    return html.map(lambda b: None if b is None else py_extract_text(bytes(b)))
+
+
+@F.pandas_udf(T.ArrayType(T.StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    def one(b, u):
+        if b is None or u is None:
+            return None
+        return py_extract_links(bytes(b).decode("utf-8", "replace"), u)
+
+    return pd.Series([one(b, u) for b, u in zip(html, url)])

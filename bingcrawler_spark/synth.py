@@ -1,0 +1,282 @@
+"""Deterministic synthetic web graph + profiles (FIXTURES.md §1-§5).
+
+Everything is a pure function of the row index (splitmix-style integer
+mixing, seed folded in) so the SAME graph can be materialized:
+  * distributed — ``spark.range(n) → mapInPandas`` (no driver bottleneck;
+    at 10^10 urls this is how the synthetic frontier is made), and
+  * locally — the pure-Python oracle regenerates page rows on demand.
+
+Graph shape (per FIXTURES.md §1): one hot host holding ~30% of urls (skew /
+salting tests), out-degree ≤ ~12, ~1/37 of linked pages missing from the
+table (fetch-failure path), some urls carry query strings whose hrefs are
+``&amp;``-escaped (P3 path), some links carry ``#fragments`` (P1 path), some
+are emitted relative (host-resolution path) or as ``<iframe src>``, some
+land under ``/private/`` (robots path), and the reachable tree is deeper
+than the depth cap 3 (AbstractParser.java:138 parity).
+
+``text`` is ALWAYS ``py_extract_text(html)`` — the byte-identical invariant
+(BASELINE.json input_hint) is true by construction and re-verified in tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from bingcrawler_spark.functions.extract import py_extract_text
+
+MASK64 = (1 << 64) - 1
+
+_EN_VOCAB = [
+    "argentine", "ant", "pattern", "self", "organizing", "exploratory",
+    "colony", "pheromone", "trail", "forage", "network", "distributed",
+    "crawl", "frontier", "priority", "queue", "bloom", "filter", "spark",
+    "shuffle", "partition", "skew", "salting", "politeness", "budget",
+    "robots", "wave", "snapshot", "lineage", "metric", "academic", "paper",
+    "citation", "journal", "keyword", "author", "profile", "simhash",
+    "fingerprint", "hamming", "distance", "token", "lemma", "corpus",
+]
+_ZH_VOCAB = ["分布式", "爬虫", "队列", "优先", "指纹", "相似", "论文", "期刊", "作者", "关键词"]
+
+_HOT_FRACTION = 3  # i % 10 < 3  → host 0 (~30% of pages)
+_MISS_MOD = 37  # i % 37 == 5 → page absent from table (dead link target)
+_QUERY_MOD = 11  # i % 11 == 7 → url carries ?a=1&b=2
+_PRIVATE_MOD = 29  # i % 29 == 3 → path under /private/ (robots-disallowed)
+_ZH_MOD = 53  # i % 53 == 11 → Chinese text row
+_NEARDUP_MOD = 101  # i % 101 == 1 → near-duplicate of page i-1
+
+
+def mix(*xs: int) -> int:
+    """splitmix64-style deterministic mixer over any number of ints."""
+    h = 0x9E3779B97F4A7C15
+    for x in xs:
+        h = (h ^ (x & MASK64)) & MASK64
+        h = (h * 0xBF58476D1CE4E5B9) & MASK64
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & MASK64
+        h ^= h >> 31
+    return h
+
+
+def page_host(i: int, n_hosts: int) -> int:
+    if i % 10 < _HOT_FRACTION:
+        return 0
+    return 1 + mix(i, 1) % (n_hosts - 1)
+
+
+def page_url(i: int, n_hosts: int) -> str:
+    h = page_host(i, n_hosts)
+    path = f"/private/p/{i}" if i % _PRIVATE_MOD == 3 else f"/p/{i}"
+    q = "?a=1&b=2" if i % _QUERY_MOD == 7 else ""
+    return f"http://host{h}.example{path}{q}"
+
+
+def page_exists(i: int, n_pages: int) -> bool:
+    return 0 <= i < n_pages and i % _MISS_MOD != 5
+
+
+def _words(i: int, salt: int, n: int, vocab: list[str]) -> list[str]:
+    return [vocab[mix(i, salt, w) % len(vocab)] for w in range(n)]
+
+
+def _href(url: str) -> str:
+    return url.replace("&", "&amp;")
+
+
+def page_links(i: int, n_pages: int, n_hosts: int) -> list[tuple[str, str]]:
+    """[(kind, href)] for page i — kind ∈ {'a','iframe'}; href as written in
+    the html (may be relative, escaped, fragment-carrying, or dead)."""
+    deg = 2 + mix(i, 2) % 11
+    out: list[tuple[str, str]] = []
+    for k in range(deg):
+        if k % 7 == 3:  # dead link (target never in table)
+            j = n_pages + mix(i, 100 + k) % max(n_pages, 1)
+            out.append(("a", _href(page_url(j, n_hosts))))
+            continue
+        j = mix(i, 100 + k) % n_pages
+        target = page_url(j, n_hosts)
+        form = k % 5
+        if form == 1 and page_host(j, n_hosts) == page_host(i, n_hosts):
+            # relative href: resolved against the page's host_url (P4)
+            out.append(("a", _href(target.split(".example", 1)[1])))
+        elif form == 2:
+            out.append(("a", _href(target) + f"#frag{k}"))
+        elif form == 4 and k % 9 == 5:
+            out.append(("iframe", _href(target)))
+        else:
+            out.append(("a", _href(target)))
+    return out
+
+
+def page_html(i: int, n_pages: int, n_hosts: int) -> bytes:
+    lang = "zh" if i % _ZH_MOD == 11 else "en"
+    vocab = _ZH_VOCAB if lang == "zh" else _EN_VOCAB
+    base = i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i
+    title = " ".join(_words(base, 7, 5, vocab))
+    p1 = " ".join(_words(base, 8, 30, vocab))
+    p2 = " ".join(_words(base, 9, 30, vocab))
+    if base != i:  # near-duplicate: one word differs from page i-1
+        p2 = p2 + " variant"
+    links_html = "".join(
+        f'<a class="lnk" href="{href}">link {n}</a>'
+        if kind == "a"
+        else f'<iframe width="1" src="{href}"></iframe>'
+        for n, (kind, href) in enumerate(page_links(i, n_pages, n_hosts))
+    )
+    html = (
+        f'<html><head><meta charset="utf-8"><title>Page {i} {title}</title>'
+        f'<script type="text/javascript">var i={i};</script>'
+        f"<style>body {{ color: #000; }}</style></head>"
+        f"<body><h1>Page {i} {title}</h1><p>{p1}</p><p>{p2}</p>"
+        f'<a href="#top">top</a><a href="javascript:void(0)">js</a>'
+        f"{links_html}</body></html>"
+    )
+    return html.encode("utf-8")
+
+
+def page_row(i: int, n_pages: int, n_hosts: int) -> dict:
+    html = page_html(i, n_pages, n_hosts)
+    return {
+        "url": page_url(i, n_hosts),
+        "warc_ts": pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(seconds=i),
+        "html": html,
+        "text": py_extract_text(html),  # invariant by construction
+        "lang": "zh" if i % _ZH_MOD == 11 else "en",
+    }
+
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def synth_pages_df(
+    spark: SparkSession, n_pages: int, n_hosts: int = 8, partitions: int | None = None
+) -> DataFrame:
+    """Distributed materialization: range → mapInPandas (scales linearly;
+    the generator never touches the driver)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"] if page_exists(int(i), n_pages)]
+            if not ids:
+                continue
+            yield pd.DataFrame([page_row(i, n_pages, n_hosts) for i in ids])
+
+    rng = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGES_SCHEMA)
+
+
+def synth_pages_local(n_pages: int, n_hosts: int = 8) -> list[dict]:
+    """Same rows, driver-side (oracle + tiny tests only)."""
+    return [page_row(i, n_pages, n_hosts) for i in range(n_pages) if page_exists(i, n_pages)]
+
+
+# ------------------------------------------------------------------ seeds
+
+
+def seed_urls(n_pages: int, n_hosts: int, n_seeds: int = 3) -> list[tuple[str, int]]:
+    """(url, weight): first seed is a 'search seed' at 110, rest default 100
+    (BingParser.java:98 / CrawlUrl.java:12). Seeds always exist in the table."""
+    out = []
+    i, k = 0, 0
+    while len(out) < n_seeds and i < n_pages:
+        if page_exists(i, n_pages) and i % _PRIVATE_MOD != 3:
+            out.append((page_url(i, n_hosts), 110 if k == 0 else 100))
+            k += 1
+        i += 1 + mix(7, len(out)) % 13
+    return out
+
+
+# ------------------------------------------------------------------ robots
+
+
+def robots_rows(n_hosts: int) -> list[dict]:
+    """Per-host rules (north-rule addition, FIXTURES.md §4): every host
+    disallows /private/; the hot host gets a tighter per-wave budget."""
+    return [
+        {
+            "host": f"host{h}.example",
+            "disallow_prefixes": ["/private/"],
+            "crawl_budget": 8 if h == 0 else 16,
+        }
+        for h in range(n_hosts)
+    ]
+
+
+ROBOTS_SCHEMA = T.StructType(
+    [
+        T.StructField("host", T.StringType(), False),
+        T.StructField("disallow_prefixes", T.ArrayType(T.StringType()), True),
+        T.StructField("crawl_budget", T.IntegerType(), True),
+    ]
+)
+
+
+def robots_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
+    return spark.createDataFrame(robots_rows(n_hosts), ROBOTS_SCHEMA)
+
+
+# ---------------------------------------------------------------- profiles
+
+_JOURNALS = [f"Journal of {w.title()}" for w in _EN_VOCAB[:12]]
+_AUTHORS = [f"Author {chr(65 + a)}{a}" for a in range(40)]
+_KEYWORDS = _EN_VOCAB[:24]
+
+
+def profile_row(i: int, n_profiles: int) -> dict:
+    title = f"Paper {i}: " + " ".join(_words(i, 30, 4, _EN_VOCAB))
+    n_auth = 1 + mix(i, 31) % 4
+    n_kw = 1 + mix(i, 32) % 5
+    refs = [f"Paper {mix(i, 33, r) % n_profiles}" for r in range(mix(i, 34) % 6)]
+    cited = [f"Paper {mix(i, 35, r) % n_profiles}" for r in range(mix(i, 36) % 9)]
+    return {
+        "title": title,
+        "url": f"http://academic.example/profile/{i}",
+        "authors": sorted({_AUTHORS[mix(i, 37, a) % len(_AUTHORS)] for a in range(n_auth)}),
+        "keywords": sorted({_KEYWORDS[mix(i, 38, k) % len(_KEYWORDS)] for k in range(n_kw)}),
+        "year": 1980 + mix(i, 39) % 45,
+        "journal": _JOURNALS[mix(i, 40) % len(_JOURNALS)],
+        "cited_by": (mix(i, 41) % 100) ** 2 % 500,
+        "introduction": " ".join(_words(i, 42, 25, _EN_VOCAB)),
+        "references": refs,
+        "cited_papers": cited,
+        "download_urls": [f"http://dl.example/{i}/{d}.pdf" for d in range(mix(i, 43) % 3)],
+        "source_urls": [f"http://src.example/{i}" for _ in range(mix(i, 44) % 2)],
+    }
+
+
+PROFILES_SCHEMA = T.StructType(
+    [
+        T.StructField("title", T.StringType(), False),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("authors", T.ArrayType(T.StringType()), True),
+        T.StructField("keywords", T.ArrayType(T.StringType()), True),
+        T.StructField("year", T.IntegerType(), True),
+        T.StructField("journal", T.StringType(), True),
+        T.StructField("cited_by", T.IntegerType(), True),
+        T.StructField("introduction", T.StringType(), True),
+        T.StructField("references", T.ArrayType(T.StringType()), True),
+        T.StructField("cited_papers", T.ArrayType(T.StringType()), True),
+        T.StructField("download_urls", T.ArrayType(T.StringType()), True),
+        T.StructField("source_urls", T.ArrayType(T.StringType()), True),
+    ]
+)
+
+
+def synth_profiles_df(spark: SparkSession, n_profiles: int, partitions: int | None = None) -> DataFrame:
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame([profile_row(int(i), n_profiles) for i in pdf["id"]])
+
+    rng = spark.range(0, n_profiles, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PROFILES_SCHEMA)

@@ -1,0 +1,75 @@
+"""P1/P2/P3/P16 unit vectors (FIXTURES.md §7) + Spark-column ⇔ pure-Python parity."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from bingcrawler_spark.functions.canon import (
+    canon_url_col,
+    host_name_col,
+    host_url_col,
+    md5_col,
+    py_canon_url,
+    py_host_name,
+    py_host_url,
+    py_md5_hex,
+    py_unescape_entities,
+    unescape_entities_col,
+)
+
+URLS = [
+    "http://www.hacg.fi/wp/23147.html#comment-62635",
+    "http://a.example/p/1",
+    "http://a.example/p/1#x#y",  # greedy: strips from LAST '#'
+    "#onlyfrag",
+    "ab#",
+    "http://host0.example/private/p/3?a=1&b=2",
+    "https://UPPER.example/Path",
+    "ftp://x/y",
+    "",
+    "http://h.example/p/2#frag",
+]
+
+
+def test_py_canon_vectors():
+    assert py_canon_url(URLS[0]) == "http://www.hacg.fi/wp/23147.html"
+    assert py_canon_url("a#b#c") == "a#b"  # greedy = last '#'
+    assert py_canon_url("#x") == "#x"
+    assert py_canon_url("ab#") == "ab"
+    assert py_canon_url("nofrag") == "nofrag"
+
+
+def test_py_host_vectors():
+    assert py_host_url("http://a.b/c/d") == "http://a.b"
+    assert py_host_url("https://A.B/c") == "https://A.B"  # case preserved
+    assert py_host_url("ftp://x/y") == "ftp:"  # reference quirk preserved
+    assert py_host_url("") == ""
+    assert py_host_name("http://host0.example/p/1") == "host0.example"
+
+
+def test_py_entities():
+    assert py_unescape_entities("a&amp;b&lt;c&gt;&copy;") == "a&b<c>©"
+
+
+def test_md5_ascii_equals_java_char_cast():
+    # Md5.java casts chars to bytes; for ASCII that equals utf-8 md5
+    for u in URLS:
+        assert py_md5_hex(u) == hashlib.md5(u.encode("utf-8")).hexdigest()
+
+
+def test_spark_columns_match_python(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], ["url"])
+    out = df.select(
+        "url",
+        canon_url_col(F.col("url")).alias("canon"),
+        host_url_col(F.col("url")).alias("host_url"),
+        host_name_col(F.col("url")).alias("host_name"),
+        unescape_entities_col(F.col("url")).alias("unesc"),
+        md5_col(F.col("url")).alias("md5"),
+    ).collect()
+    for r in out:
+        assert r["canon"] == py_canon_url(r["url"]), r["url"]
+        assert r["host_url"] == py_host_url(r["url"]), r["url"]
+        assert r["host_name"] == py_host_name(r["url"]), r["url"]
+        assert r["unesc"] == py_unescape_entities(r["url"]), r["url"]
+        assert r["md5"] == py_md5_hex(r["url"]), r["url"]

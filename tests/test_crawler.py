@@ -1,0 +1,74 @@
+"""Wave loop mechanics: checkpoint/resume, metrics lineage, politeness."""
+
+import tempfile
+
+from bingcrawler_spark.crawler import CrawlConfig, CrawlEngine
+from bingcrawler_spark.statestore import SnapshotStore
+from bingcrawler_spark.synth import robots_df, seed_urls, synth_pages_df
+
+N, H = 260, 8
+
+
+def _engine(spark, wh, wave_size=8):
+    pages = synth_pages_df(spark, N, H)
+    cfg = CrawlConfig(wave_size=wave_size, max_depth=3)
+    return CrawlEngine(spark, SnapshotStore(spark, wh), pages, robots_df(spark, H), cfg)
+
+
+def test_kill_and_resume_identical(spark):
+    # straight-through run
+    wh_a = tempfile.mkdtemp(prefix="wh_a_")
+    a = _engine(spark, wh_a)
+    a.bootstrap(seed_urls(N, H))
+    a.run(3)
+
+    # killed after wave 2, resumed by a brand-new engine on the same store
+    wh_b = tempfile.mkdtemp(prefix="wh_b_")
+    b1 = _engine(spark, wh_b)
+    b1.bootstrap(seed_urls(N, H))
+    b1.run(2)
+    del b1  # "crash"
+    b2 = _engine(spark, wh_b)
+    assert b2.wave == 2  # resumes from the last committed snapshot
+    b2.run(1)
+
+    key = lambda df: {  # noqa: E731
+        (r["url"], r["weight"], r["depth"], tuple(r["referrers"]))
+        for r in df.collect()
+    }
+    assert key(a.seen()) == key(b2.seen())
+    assert key(a.frontier()) == key(b2.frontier())
+
+
+def test_metrics_lineage(spark):
+    wh = tempfile.mkdtemp(prefix="wh_m_")
+    eng = _engine(spark, wh)
+    eng.bootstrap(seed_urls(N, H))
+    rows = eng.run(2)
+    m = {r["wave"]: r for r in eng.metrics().collect()}
+    assert set(m) == {1, 2}
+    for r in rows:
+        assert m[r["wave"]]["n_popped"] == r["n_popped"]
+        assert m[r["wave"]]["seen_size"] == r["seen_size"]
+    # per-wave snapshot lineage exists for every state table
+    man = eng.store.manifest("frontier")
+    assert [s["wave"] for s in man["snapshots"]] == [0, 1, 2]
+
+
+def test_politeness_budget_respected(spark):
+    wh = tempfile.mkdtemp(prefix="wh_p_")
+    eng = _engine(spark, wh, wave_size=40)
+    eng.bootstrap(seed_urls(N, H))
+    eng.run(2)
+    log = eng.store.read("pop_log")
+    seen = eng.seen().select("url", "host")
+    per_host = (
+        log.join(seen, "url")
+        .groupBy("wave", "host")
+        .count()
+        .collect()
+    )
+    # robots budgets: host0 → 8/wave, others → 16/wave (synth.robots_rows)
+    for r in per_host:
+        cap = 8 if r["host"] == "host0.example" else 16
+        assert r["count"] <= cap, r

@@ -1,0 +1,82 @@
+"""P4/P5/P6: link extraction quirks, the byte-identical text invariant, charset."""
+
+from pyspark.sql import functions as F
+
+from bingcrawler_spark.functions.extract import (
+    extract_links_udf,
+    extract_text_udf,
+    py_extract_links,
+    py_extract_text,
+    py_get_charset,
+)
+from bingcrawler_spark.synth import synth_pages_df, synth_pages_local
+
+HTML = (
+    '<html><head><meta charset="utf-8"><title>T</title>'
+    "<script>var a=1;</script><style>b{}</style></head><body>"
+    '<a href="http://x.example/a">one</a>'
+    '<a class="c" href="/rel/p">two</a>'
+    '<a href="#frag">drop</a>'
+    '<a href="javascript:void(0)">drop</a>'
+    '<a href="http://x.example/b?q=1&amp;r=2">ent</a>'
+    '<a href="/rel/q#sec">relfrag</a>'
+    '<iframe width="9" src="http://f.example/if"></iframe>'
+    '<frame src="http://f.example/fr">'
+    '<a href="http://x.example/a">dupe</a>'
+    "<p>Body &amp; text</p></body></html>"
+)
+
+
+def test_links_quirks():
+    links = py_extract_links(HTML, "http://x.example/page")
+    assert links == [
+        "http://x.example/a",
+        "http://x.example/rel/p",  # relative resolved against host_url (P2)
+        "http://x.example/b?q=1&r=2",  # &amp; unescaped (P3)
+        "http://x.example/rel/q",  # relative + fragment → stripped at resolve
+        "http://f.example/if",  # iframe src
+        "http://f.example/fr",  # frame src (regex `i?frame` quirk)
+    ]
+
+
+def test_absolute_fragment_kept_until_insert():
+    # absolute links keep '#...' in P4 (canon happens at frontier insert)
+    html = '<a href="http://x.example/c#keep">k</a>'
+    assert py_extract_links(html, "http://x.example/") == ["http://x.example/c#keep"]
+
+
+def test_charset_quirk():
+    # reference regex is greedy to the LAST quote — quirk preserved
+    assert py_get_charset('x charset="gbk" y') == "gbk"
+    assert py_get_charset("no charset here") == "utf-8"
+    assert py_get_charset('charset="a" mid "b"') == 'a" mid "b'
+
+
+def test_text_extraction_drops_script_style_tags():
+    t = py_extract_text(HTML.encode())
+    assert "var a=1" not in t
+    assert "b{}" not in t
+    assert "Body & text" in t
+    assert "<" not in t
+
+
+def test_invariant_by_construction_local():
+    for r in synth_pages_local(150):
+        assert py_extract_text(r["html"]) == r["text"], r["url"]
+
+
+def test_udf_invariant_and_links_match(spark):
+    pages = synth_pages_df(spark, 120).cache()
+    # byte-identical invariant: UDF(html) == stored text for EVERY row
+    bad = pages.where(
+        extract_text_udf(F.col("html")) != F.col("text")
+    ).count()
+    assert bad == 0
+    # UDF links == pure-python links
+    rows = pages.select(
+        "url", "html", extract_links_udf("html", "url").alias("links")
+    ).collect()
+    for r in rows:
+        exp = py_extract_links(bytes(r["html"]).decode(), r["url"])
+        assert list(r["links"]) == exp, r["url"]
+    pages.unpersist()

@@ -1,0 +1,196 @@
+"""Cross-engine deterministic hashing (Spark Column ⇄ DuckDB SQL snippet).
+
+Every fingerprinting operator in this engine (MinHash, SimHash-vote,
+rolling fingerprint, hamming pairs) must be verifiable by the driver's
+DuckDB oracle at sf=0.01.  Generic hash functions differ between engines
+(xxhash64 vs duckdb hash), so all oracle-checked fingerprints derive from
+**md5 hex digests**, which are bit-identical in Spark and DuckDB:
+
+    h32(s) = int(md5(s)[0:8],  16)   # 32-bit, fits uint32
+    h60(s) = int(md5(s)[0:15], 16)   # 60-bit, always positive in int64
+
+Each primitive exists twice, generated from the SAME Python constants:
+``*_col`` returns a Spark Column; ``*_sql`` returns a DuckDB SQL snippet.
+A drift between the two is a test failure, not a silent mismatch — the
+driver's value-hash compare is exact.
+
+MinHash universal-hash family: h_i(x) = (a_i * h32(x) + b_i) mod P with
+P = 2^31 - 1 (Mersenne prime).  a_i < P and h32 < 2^32 keep the product
+under 2^63 — no int64 overflow in either engine.
+
+Reference parity note: the reference's SimHash (TextAnalysis.java:97-150)
+uses a Python-2-string-hash clone over ansj tokens — reproduced exactly in
+functions/simhash.py (unit-tested, rows-only driver check).  The md5-vote
+SimHash here keeps the reference's bit-vote math (TextAnalysis.java:219-243)
+but swaps the token hash for md5 so the whole fingerprint is expressible in
+ANSI SQL and therefore oracle-checkable end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 31) - 1  # 2147483647
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    """k fixed (a, b) pairs — same constants feed both engines."""
+    out = []
+    for i in range(k):
+        a = ((2 * i + 1) * 2654435761) % MERSENNE_P
+        b = (i * 40503 * 65537 + 17) % MERSENNE_P
+        out.append((a or 1, b))
+    return out
+
+
+# ------------------------------------------------------------------ h32/h60
+
+
+def h32_col(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s.cast("string")), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 8))::BIGINT"
+
+
+def h60_col(s: Column) -> Column:
+    return F.conv(F.substring(F.md5(s.cast("string")), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+# -------------------------------------------------------------- tokens/shingles
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens. split() takes a regex in Spark; the corpus is
+    single-space separated, so ' ' matches DuckDB's string_split exactly."""
+    return F.split(text, " ")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"string_split({expr}, ' ')"
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Distinct sorted word n-gram shingles (JVM higher-order fns, no UDF)."""
+    t = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))  # 1-based
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    sh = F.transform(idx, gram)
+    return F.array_sort(
+        F.array_distinct(F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>")))
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    t = tokens_sql(expr)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    return (
+        f"list_sort(list_distinct(CASE WHEN len(__t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(__t) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END))".replace("__t", f"({t})")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+
+def minhash_sig_col(shingles: Column, k: int = 16) -> Column:
+    """array<long> length-k signature: min over shingles of (a*h32+b) mod P.
+    Empty shingle set → all-P sentinel (never collides with a real min)."""
+    def _hasher(a: int, b: int):
+        return lambda x: (F.lit(a) * h32_col(x) + F.lit(b)) % F.lit(MERSENNE_P)
+
+    cols = []
+    for a, b in minhash_params(k):
+        hashed = F.transform(shingles, _hasher(a, b))
+        cols.append(
+            F.when(F.size(shingles) > 0, F.array_min(hashed)).otherwise(
+                F.lit(MERSENNE_P)
+            )
+        )
+    return F.array(*cols)
+
+
+def minhash_sig_sql(shingles_expr: str, k: int = 16) -> str:
+    mins = []
+    for a, b in minhash_params(k):
+        mins.append(
+            f"CASE WHEN len(__s) > 0 THEN list_aggregate(list_transform(__s, "
+            f"x -> ({a}::BIGINT * {h32_sql('x')} + {b}) % {MERSENNE_P}), 'min') "
+            f"ELSE {MERSENNE_P} END"
+        )
+    return ("[" + ", ".join(mins) + "]").replace("__s", f"({shingles_expr})")
+
+
+# ---------------------------------------------------------- md5-vote simhash
+
+
+def simhash60_col(text: Column) -> Column:
+    """60-bit bit-vote SimHash over distinct whitespace tokens.
+
+    Vote math per TextAnalysis.java:219-243: for each bit b, sum +-1 over
+    unique tokens by token-hash bit b; fingerprint bit = 1 iff sum > 0.
+    Token hash = h60(md5) so the identical fingerprint is computable in
+    DuckDB (simhash60_sql) — fully oracle-checked, unlike the reference's
+    irreproducible ansj tokenizer (SURVEY.md §7 hard-part d)."""
+    toks = F.array_distinct(tokens_col(text))
+    hashes = F.transform(toks, h60_col)
+
+    def _voter(b: int):
+        return lambda s, h: s + (F.shiftright(h, b) % 2) * 2 - 1
+
+    acc = F.lit(0).cast("long")
+    for b in range(60):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _voter(b))
+        acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return acc
+
+
+def simhash60_sql(expr: str) -> str:
+    toks = f"list_distinct({tokens_sql(expr)})"
+    hashes = f"list_transform({toks}, x -> {h60_sql('x')})"
+    bits = []
+    for b in range(60):
+        vote = (
+            f"list_aggregate(list_transform(__h, h -> ((h >> {b}) & 1) * 2 - 1), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << b}::BIGINT ELSE 0 END)")
+    return ("(" + " + ".join(bits) + ")").replace("__h", f"({hashes})")
+
+
+# ------------------------------------------------------------ rolling hash
+
+
+FP_BASE = 1_000_003
+
+
+def fingerprint_col(text: Column) -> Column:
+    """Order-sensitive document fingerprint: left fold
+    h = (h * B + (h32(token) mod P)) mod P over the token sequence,
+    P = 2^31-1.  h < 2^31 and B < 2^20 keep h*B < 2^51 — no int64
+    overflow in either engine."""
+    toks = tokens_col(text)
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda s, t: (s * F.lit(FP_BASE) + h32_col(t) % F.lit(MERSENNE_P))
+        % F.lit(MERSENNE_P),
+    )
+
+
+def fingerprint_sql(expr: str) -> str:
+    # list_reduce has no init accumulator → prepend a zero element
+    toks = tokens_sql(expr)
+    return (
+        f"list_reduce(list_prepend(0::BIGINT, list_transform({toks}, "
+        f"t -> {h32_sql('t')} % {MERSENNE_P})), "
+        f"(acc, x) -> (acc * {FP_BASE} + x) % {MERSENNE_P})"
+    )

@@ -1,0 +1,303 @@
+"""Batch analytics layer (SURVEY.md §2.4 R1-R16) — the Spark rebuild of
+BingDataAnalysis.java / BingDataAnalysisUtils.java.
+
+The reference walks the profilesDb cursor once per derived table
+(BingDataAnalysis.java:240-270) and maintains seven bean stores with
+hand-coded upserts; here each derived table is a declarative query over
+the ``profiles`` DataFrame (schema: synth.PROFILES_SCHEMA) and Catalyst
+owns the ordering — the reference's explicit dependency chain
+(authors → keywords → journals, BingDataAnalysis.java:137-198) is just a
+DAG of broadcast joins.
+
+Top-K tie-break parity (R7, WeightDbManager.java:130-159): the BDB
+weight-index cursor walks duplicates in reverse via getPrev, so strict
+parity is ORDER BY weight DESC, key DESC — reproduced everywhere.
+
+Scale notes: every group-by here is a partial-aggregatable shape
+(count/sum/collect_set on an exploded edge table); the enrich joins
+broadcast the smaller rollup side; the all-pairs SimHash report (R12)
+uses banding at scale (dataops.dedup.simhash_neardup_pairs) — the
+crossJoin form below matches the reference's O(n²) loop only for the
+oracle-scale corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+TOP_COUNT = 50  # BingDataAnalysis.java:97
+
+
+def _ranked(df: DataFrame, weight_col: str, key_col: str, k: int) -> DataFrame:
+    """R7: top-K by (weight DESC, key DESC) with 1-based rank."""
+    w = W.orderBy(F.col(weight_col).desc(), F.col(key_col).desc())
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("int"))
+    )
+
+
+# ------------------------------------------------------------- R2/R3/R4
+
+
+def author_counts(profiles: DataFrame) -> DataFrame:
+    """R2 (BingDataAnalysis.java:335-363): author → distinct profile count."""
+    return (
+        profiles.select(F.explode("authors").alias("author"), "title")
+        .groupBy("author")
+        .agg(F.countDistinct("title").cast("long").alias("weight"))
+    )
+
+
+def keyword_counts(profiles: DataFrame) -> DataFrame:
+    """R3 (:365-394): keyword → profile count."""
+    return (
+        profiles.select(F.explode("keywords").alias("keyword"), "title")
+        .groupBy("keyword")
+        .agg(F.countDistinct("title").cast("long").alias("weight"))
+    )
+
+
+def journal_counts(profiles: DataFrame) -> DataFrame:
+    """R4 (:396-424): journal → profile count."""
+    return profiles.groupBy("journal").agg(
+        F.countDistinct("title").cast("long").alias("weight")
+    )
+
+
+# ------------------------------------------------------------------ R5/R6
+
+
+def timeline(profiles: DataFrame) -> DataFrame:
+    """R5 (BingDataAnalysisUtils.java:112-145): per-year aggregates.
+    linked_cited_by = |citedPapers| (Timeline.java:137-147 semantics)."""
+    return profiles.groupBy("year").agg(
+        F.countDistinct("title").cast("long").alias("n_profiles"),
+        F.sum("cited_by").cast("long").alias("total_cited_by"),
+        F.sum(F.size("cited_papers")).cast("long").alias("total_linked_cited_by"),
+    )
+
+
+def five_year_buckets(profiles: DataFrame, top_keywords: int = 5) -> DataFrame:
+    """R6 (:49-108): [start, start+4] buckets with top keywords per bucket.
+    Returns one row per (bucket, keyword rank) — ranked rows instead of a
+    formatted map string (formatTopMapStr, Util.java:101-131 → R13)."""
+    bucketed = profiles.withColumn(
+        "bucket", (F.floor(F.col("year") / 5) * 5).cast("int")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(
+        F.countDistinct("title").cast("long").alias("n_profiles"),
+        F.sum("cited_by").cast("long").alias("total_cited_by"),
+    )
+    kw = (
+        bucketed.select("bucket", F.explode("keywords").alias("keyword"))
+        .groupBy("bucket", "keyword")
+        .agg(F.count(F.lit(1)).cast("long").alias("kw_count"))
+    )
+    wkw = W.partitionBy("bucket").orderBy(F.col("kw_count").desc(), F.col("keyword").desc())
+    top = kw.withColumn("kw_rank", F.row_number().over(wkw).cast("int")).where(
+        F.col("kw_rank") <= top_keywords
+    )
+    return per_bucket.join(top, "bucket").select(
+        "bucket", "n_profiles", "total_cited_by", "keyword", "kw_count", "kw_rank"
+    )
+
+
+# ------------------------------------------------------------------ R8
+
+
+def rank_profiles_3way(profiles: DataFrame, k: int = TOP_COUNT) -> DataFrame:
+    """R8 (BingDataAnalysis.java:305-333): three ranked tables — weight :=
+    citedBy | |citedPapers| | |downloadUrls|+|sourceUrls| — unioned with a
+    `ranking` discriminator column."""
+    m1 = profiles.select(
+        F.lit("cited_by").alias("ranking"),
+        "title",
+        F.col("cited_by").cast("long").alias("weight"),
+    )
+    m2 = profiles.select(
+        F.lit("linked_cited_by").alias("ranking"),
+        "title",
+        F.size("cited_papers").cast("long").alias("weight"),
+    )
+    m3 = profiles.select(
+        F.lit("sources").alias("ranking"),
+        "title",
+        (F.size("download_urls") + F.size("source_urls")).cast("long").alias("weight"),
+    )
+    out = []
+    for m in (m1, m2, m3):
+        w = W.orderBy(F.col("weight").desc(), F.col("title").desc())
+        out.append(
+            m.withColumn("rank", F.row_number().over(w).cast("int")).where(
+                F.col("rank") <= k
+            )
+        )
+    return out[0].unionByName(out[1]).unionByName(out[2])
+
+
+# ------------------------------------------------------------------ R9
+
+
+def author_rollup(profiles: DataFrame) -> DataFrame:
+    """R9 (BingDataAnalysisUtils.java:285-339): per-author totals with the
+    reference's INT-division average over profiles with citedBy > 0."""
+    edges = profiles.select(
+        F.explode("authors").alias("author"),
+        "title",
+        "cited_by",
+        F.size("cited_papers").alias("n_linked"),
+        "journal",
+        "year",
+    )
+    agg = edges.groupBy("author").agg(
+        F.countDistinct("title").cast("long").alias("n_profiles"),
+        F.sum("cited_by").cast("long").alias("total_cited_by"),
+        F.sum(F.when(F.col("cited_by") > 0, 1).otherwise(0)).alias("_n_pos"),
+        F.sum("n_linked").cast("long").alias("total_linked_cited_by"),
+        F.countDistinct("journal").cast("long").alias("n_journals"),
+        F.countDistinct("year").cast("long").alias("n_years"),
+    )
+    avg = F.when(
+        F.col("_n_pos") > 0, F.floor(F.col("total_cited_by") / F.col("_n_pos"))
+    ).otherwise(F.lit(0))
+    return agg.withColumn("avg_cited_by", avg.cast("long")).drop("_n_pos")
+
+
+def coauthor_counts(profiles: DataFrame) -> DataFrame:
+    """R9 co-author edge table: distinct co-author count per author via the
+    (title, author) self-join."""
+    e = profiles.select(F.explode("authors").alias("author"), "title")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, "title")
+        .where(F.col("a.author") != F.col("b.author"))
+        .groupBy(F.col("a.author").alias("author"))
+        .agg(F.countDistinct("b.author").cast("long").alias("n_coauthors"))
+    )
+
+
+# ------------------------------------------------------------------ R10
+
+
+def keyword_cooccurrence(profiles: DataFrame) -> DataFrame:
+    """R10 relatedKeywords (Keyword.java:68-88): keyword pairs co-occurring
+    on a profile, with pair count and the left keyword's profile count
+    (relatedness% = pair_count / n_left in the reference's report)."""
+    e = profiles.select("title", F.explode("keywords").alias("kw")).distinct()
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(b, "title")
+        .where(F.col("a.kw") < F.col("b.kw"))
+        .groupBy(F.col("a.kw").alias("kw_a"), F.col("b.kw").alias("kw_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
+    )
+    left_counts = e.groupBy(F.col("kw").alias("kw_a")).agg(
+        F.countDistinct("title").cast("long").alias("n_left")
+    )
+    return pairs.join(F.broadcast(left_counts), "kw_a")
+
+
+def keyword_rollup(profiles: DataFrame) -> DataFrame:
+    """R10 (BingDataAnalysisUtils.java:215-282): per-keyword totals."""
+    e = profiles.select(
+        F.explode("keywords").alias("keyword"),
+        "title",
+        "cited_by",
+        F.size("cited_papers").alias("n_linked"),
+        "journal",
+        "year",
+    )
+    return e.groupBy("keyword").agg(
+        F.countDistinct("title").cast("long").alias("n_profiles"),
+        F.sum("cited_by").cast("long").alias("total_cited_by"),
+        F.sum("n_linked").cast("long").alias("total_linked_cited_by"),
+        F.countDistinct("journal").cast("long").alias("n_journals"),
+        F.countDistinct("year").cast("long").alias("n_years"),
+    )
+
+
+# ------------------------------------------------------------------ R11
+
+
+def journal_rollup(profiles: DataFrame) -> DataFrame:
+    """R11 (:148-195): per-journal totals enriched with its top author by
+    the author table's total_cited_by (broadcast join against R9)."""
+    base = profiles.groupBy("journal").agg(
+        F.countDistinct("title").cast("long").alias("n_profiles"),
+        F.sum("cited_by").cast("long").alias("total_cited_by"),
+        F.countDistinct("year").cast("long").alias("n_years"),
+    )
+    authors = author_rollup(profiles).select("author", "total_cited_by")
+    e = profiles.select("journal", F.explode("authors").alias("author")).distinct()
+    ja = e.join(F.broadcast(authors), "author")
+    wj = W.partitionBy("journal").orderBy(
+        F.col("total_cited_by").desc(), F.col("author").desc()
+    )
+    top_auth = (
+        ja.withColumn("_rn", F.row_number().over(wj))
+        .where(F.col("_rn") == 1)
+        .select("journal", F.col("author").alias("top_author"))
+    )
+    return base.join(top_auth, "journal", "left")
+
+
+# ------------------------------------------------------------------ R12
+
+
+def allpairs_simhash_report(fps: DataFrame, nearest: int = 10) -> DataFrame:
+    """R12 (BingDataAnalysisUtils.java:24-39): nearest-`nearest` titles per
+    title by hamming distance over 64-bit fingerprints.  crossJoin matches
+    the reference's all-pairs loop; at corpus scale use
+    dataops.dedup.simhash_neardup_pairs (banded LSH) instead."""
+    a = fps.select(F.col("title").alias("t_a"), F.col("simhash").alias("h_a"))
+    b = fps.select(F.col("title").alias("t_b"), F.col("simhash").alias("h_b"))
+    pairs = a.crossJoin(b).where(F.col("t_a") != F.col("t_b"))
+    dist = F.when(
+        F.col("h_a").isNull() | F.col("h_b").isNull(), F.lit(-1)
+    ).otherwise(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+    w = W.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
+    return (
+        pairs.withColumn("distance", dist.cast("int"))
+        .withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nn_rank") <= nearest)
+        .select("t_a", "t_b", "distance", "nn_rank")
+    )
+
+
+# ------------------------------------------------------------------ R14
+
+
+def counters(profiles: DataFrame, seen: DataFrame | None = None) -> DataFrame:
+    """R14 (BingDataAnalysis.java:100-107): corpus counters as rows."""
+    rows = [profiles.select(F.lit("profiles").alias("counter"), F.countDistinct("title").cast("long").alias("value"))]
+    if seen is not None:
+        rows.append(
+            seen.select(F.lit("uni_urls").alias("counter"), F.count(F.lit(1)).cast("long").alias("value"))
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+# ------------------------------------------------------------------ R16
+
+
+def search_gate(candidates: DataFrame, expected: DataFrame) -> DataFrame:
+    """R16 (BingParser.java:211-244): accept a candidate profile iff its
+    40-char case-insensitive title prefix matches the expected title OR any
+    expected author appears in the candidate's authors."""
+    c = candidates.select(
+        F.col("title").alias("cand_title"), F.col("authors").alias("cand_authors")
+    )
+    e = expected.select(
+        F.col("title").alias("exp_title"), F.col("authors").alias("exp_authors")
+    )
+    prefix = lambda col: F.lower(F.substring(col, 1, 40))  # noqa: E731
+    gate = (prefix(F.col("cand_title")) == prefix(F.col("exp_title"))) | F.arrays_overlap(
+        "cand_authors", "exp_authors"
+    )
+    return c.crossJoin(F.broadcast(e)).where(gate).select("cand_title", "exp_title")

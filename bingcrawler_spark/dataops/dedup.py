@@ -1,0 +1,275 @@
+"""Deduplication operators (exact + near-dup) — pure DataFrame transforms.
+
+Scale design (the sf0.01 numbers are the correctness gate; the plans are
+written for 100 TB):
+
+* exact dedup groups by ``md5(text)`` (16 bytes), never by the full text —
+  the shuffle carries a fixed-width key instead of multi-KB documents and
+  map-side partial aggregation collapses duplicates before the exchange.
+* near-dup never goes all-pairs: LSH banding (MinHash bands / SimHash bit
+  bands) produces candidate pairs via an equi-join on the band key, so the
+  shuffle is O(docs × bands) and AQE's skew-join split handles a hot band.
+  The exact verify (Jaccard / hamming) runs only on candidates.
+* the reference's near-dup machinery is the 64-bit SimHash
+  (TextAnalysis.java:97-150) compared pairwise (BingDataAnalysisUtils.java:24-39,
+  R12); banding generalizes that all-pairs loop to frontier scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+from bingcrawler_spark import xhash as X
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: one row per input doc with the canonical (minimum) id of
+    its content group and a duplicate flag.  Group key = md5(text) — a
+    16-byte shuffle key; the text itself never shuffles."""
+    keyed = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_key"))
+    w = W.partitionBy("content_key")
+    return (
+        keyed.withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("is_dup", (F.col(id_col) != F.col("canonical_id")).cast("int"))
+        .select(id_col, "canonical_id", "group_size", "is_dup")
+    )
+
+
+def exact_dedup_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col},
+           MIN({id_col}) OVER (PARTITION BY md5({text_col})) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY md5({text_col})) AS group_size,
+           CASE WHEN {id_col} != MIN({id_col}) OVER (PARTITION BY md5({text_col}))
+                THEN 1 ELSE 0 END AS is_dup
+    FROM ({docs_sql})
+    """
+
+
+# ------------------------------------------------------------- minhash LSH
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, verified by exact shingle Jaccard.
+
+    shingle → k minhashes → `bands` bands of k/bands rows → docs sharing a
+    band bucket become candidates → exact 3-gram Jaccard ≥ threshold.
+    Jaccard is reported as exact integers (n_common, n_union) — no float in
+    the comparable output.  Band join is an equi-join on (band_idx, band
+    value) so Catalyst plans a shuffle hash join; one-doc buckets produce no
+    candidates by construction."""
+    rows = k // bands
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        X.shingles_col(F.col(text_col)).alias("sh"),
+    ).withColumn("sig", X.minhash_sig_col(F.col("sh"), k))
+    bands_df = base.select(
+        "doc",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("sig"), b * rows + 1, rows).cast("array<long>")
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = cand.select(
+        "doc_a",
+        "doc_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+    )
+    return verified.where(
+        F.col("n_common") * 100 >= F.col("n_union") * min_jaccard_pct
+    )
+
+
+def minhash_lsh_pairs_sql(
+    docs_sql: str,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    rows = k // bands
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc,
+             {X.shingles_sql(text_col)} AS sh,
+             {X.minhash_sig_sql(X.shingles_sql(text_col), k)} AS sig
+      FROM ({docs_sql})
+    ), bandsx AS (
+      SELECT doc, sh, bi.band_idx,
+             sig[bi.band_idx * {rows} + 1 : bi.band_idx * {rows} + {rows}] AS band_val
+      FROM base, (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) bi
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM bandsx a JOIN bandsx b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_common,
+           (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))::BIGINT AS n_union
+    FROM cand c
+    JOIN base sa ON sa.doc = c.doc_a
+    JOIN base sb ON sb.doc = c.doc_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) * 100
+          >= (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) * {min_jaccard_pct}
+    """
+
+
+# ------------------------------------------------------------ simhash bands
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup: 60-bit md5-vote fingerprint, banded into `n_bands`
+    15-bit slices (pigeonhole: any pair within hamming < n_bands shares at
+    least one exact band), candidates verified by bit_count(xor) — the
+    reference's hamming distance (TextAnalysis.java:287-300, P14)."""
+    width = 60 // n_bands
+    fp = docs.select(
+        F.col(id_col).alias("doc"), X.simhash60_col(F.col(text_col)).alias("fp")
+    )
+    banded = fp.select(
+        "doc",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("fp", b * width) % F.lit(1 << width)).cast("long")
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("int").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def simhash_neardup_pairs_sql(
+    docs_sql: str,
+    max_hamming: int = 8,
+    n_bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    width = 60 // n_bands
+    return f"""
+    WITH fp AS (
+      SELECT {id_col} AS doc, {X.simhash60_sql(text_col)} AS fp FROM ({docs_sql})
+    ), banded AS (
+      SELECT doc, fp, bi.band_idx,
+             (fp >> (bi.band_idx * {width})) & {(1 << width) - 1} AS band_val
+      FROM fp, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_idx) bi
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fp, b.fp))::INT AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard_pct: int = 30,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard over pairs within a blocking key — the
+    ground-truth baseline the LSH variants are measured against.  All-pairs
+    within a block is O(block²); at 100 TB the block key must be an LSH
+    bucket (minhash_lsh_pairs), never a raw attribute."""
+    base = docs.select(
+        F.col(id_col).alias("doc"),
+        F.col(block_col).alias("block"),
+        X.shingles_col(F.col(text_col), n).alias("sh"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("long").alias("n_common"),
+        F.size(F.array_union("a.sh", "b.sh")).cast("long").alias("n_union"),
+    )
+    return pairs.where(F.col("n_common") * 100 >= F.col("n_union") * min_jaccard_pct)
+
+
+def ngram_jaccard_pairs_sql(
+    docs_sql: str,
+    n: int = 3,
+    min_jaccard_pct: int = 30,
+    block_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc, {block_col} AS block,
+             {X.shingles_sql(text_col, n)} AS sh
+      FROM ({docs_sql})
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+    FROM base a JOIN base b ON a.block = b.block AND a.doc < b.doc
+    WHERE len(list_intersect(a.sh, b.sh)) * 100
+          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {min_jaccard_pct}
+    """

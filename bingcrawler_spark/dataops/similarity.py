@@ -1,0 +1,235 @@
+"""Similarity search over an embedding column (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is
+sign-LSH bucketing (random-hyperplane style, here axis-aligned signs so the
+bucketing is reproducible in ANSI SQL for the oracle).
+
+Scale design: the query set is broadcast (it is small by definition); the
+corpus never shuffles for brute force — each partition scores its local
+rows against the broadcast queries and a partial top-k per query is taken
+before the single narrow shuffle that merges per-partition winners
+(`row_number` over ≤ partitions × k rows per query).  For the LSH variant
+the corpus is bucketed once (a deterministic column), so repeated queries
+join on the bucket key and touch only matching buckets — at 100 TB the
+corpus would be written bucketed-by(bucket) so the join prunes files.
+
+All dot products run in double precision with a sequential left fold
+(F.aggregate over zip_with) so Spark and DuckDB accumulate in the same
+order; ranked outputs carry no float columns (rank ties broken by id).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+
+def dot_col(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_col(a: Column, b: Column) -> Column:
+    return dot_col(a, b) / F.sqrt(dot_col(a, a)) / F.sqrt(dot_col(b, b))
+
+
+def cosine_sql(a: str, b: str) -> str:
+    """Same fold order as dot_col: sequential sum over the zipped products."""
+    dot = (
+        "list_aggregate(list_transform(list_zip({a}, {b}), "
+        "p -> p[1]::DOUBLE * p[2]::DOUBLE), 'sum')"
+    )
+    return (
+        f"({dot.format(a=a, b=b)} / sqrt({dot.format(a=a, b=a)}) "
+        f"/ sqrt({dot.format(a=b, b=b)}))"
+    )
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (query != neighbor).
+    Returns (query_id, neighbor_id, rank) — rank by cosine DESC with
+    neighbor-id ASC tie-break; scores stay internal so the comparable
+    output is all-integer."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"))
+    )
+
+
+def brute_force_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("q.qvec", "c.cvec")
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec FROM ({queries_sql})),
+         c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec FROM ({corpus_sql})),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id, {cos} AS cos
+           FROM c JOIN q ON c.neighbor_id != q.query_id
+         )
+    SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+# ------------------------------------------------------------------ sign-LSH
+
+
+def sign_bucket_col(vec: Column, n_bits: int = 8) -> Column:
+    """Axis-aligned sign-LSH bucket: bit i = 1 iff vec[i+1] >= 0 (1-based).
+    Deterministic and SQL-reproducible; with learned/random hyperplanes the
+    bit would be sign(dot(vec, plane_i)) — same plumbing."""
+    acc = F.lit(0)
+    for i in range(n_bits):
+        acc = acc + F.when(
+            F.element_at(vec, i + 1).cast("double") >= 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    return acc.cast("int")
+
+
+def sign_bucket_sql(vec: str, n_bits: int = 8) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{i + 1}]::DOUBLE >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_bits)
+    )
+    return f"({terms})::INT"
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket,
+    exact cosine rank within the bucket.  Recall < 1 by design; the oracle
+    replicates the bucketing exactly so the *approximation itself* is
+    verified, not just the exact fallback."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"))
+    )
+
+
+def lsh_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 3,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("q.qvec", "c.cvec")
+    return f"""
+    WITH q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec,
+                      {sign_bucket_sql(vec_col, n_bits)} AS bucket
+               FROM ({queries_sql})),
+         c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec,
+                      {sign_bucket_sql(vec_col, n_bits)} AS bucket
+               FROM ({corpus_sql})),
+         scored AS (
+           SELECT q.query_id, c.neighbor_id, {cos} AS cos
+           FROM c JOIN q USING (bucket) WHERE c.neighbor_id != q.query_id
+         )
+    SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def embedding_clone_pairs(
+    corpus: DataFrame,
+    min_cos_e4: int = 9990,
+    n_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs in the same sign bucket with
+    round(cos*1e4) >= threshold.  The comparable output carries the cosine
+    as an int in 1e-4 units (cos_e4) — cross-engine float-safe."""
+    c = corpus.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        sign_bucket_col(F.col(vec_col), n_bits).alias("bucket"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    pairs = a.join(
+        b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid"))
+    ).select(
+        F.col("a.vid").alias("vec_a"),
+        F.col("b.vid").alias("vec_b"),
+        F.round(cosine_col(F.col("a.vec"), F.col("b.vec")) * 10000)
+        .cast("long")
+        .alias("cos_e4"),
+    )
+    return pairs.where(F.col("cos_e4") >= min_cos_e4)
+
+
+def embedding_clone_pairs_sql(
+    corpus_sql: str,
+    min_cos_e4: int = 9990,
+    n_bits: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos = cosine_sql("a.vec", "b.vec")
+    return f"""
+    WITH c AS (SELECT {id_col} AS vid, {vec_col} AS vec,
+                      {sign_bucket_sql(vec_col, n_bits)} AS bucket
+               FROM ({corpus_sql}))
+    SELECT a.vid AS vec_a, b.vid AS vec_b,
+           round({cos} * 10000)::BIGINT AS cos_e4
+    FROM c a JOIN c b ON a.bucket = b.bucket AND a.vid < b.vid
+    WHERE round({cos} * 10000) >= {min_cos_e4}
+    """

@@ -1,0 +1,159 @@
+"""Text analysis operators: token counting, quality scoring, language ID,
+document fingerprinting — all JVM-side column expressions (no UDFs in the
+hot path), each paired with an exact DuckDB oracle emitter.
+
+These generalize the reference's text handling (tokenize-then-fingerprint,
+TextAnalysis.java:97-150) into the per-document statistics a web-text
+training pipeline filters on.  Comparable outputs are integers (counts,
+1e-4 fixed-point ratios) so the driver's value-hash compare is float-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from bingcrawler_spark import xhash as X
+
+# A BPE-ish word/number/punctuation chunker: letters runs, digit runs, or a
+# single non-space symbol — the same regex drives both engines.
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+# Tiny fixed stopword lists per language (synthetic corpus vocabulary) —
+# the language-ID heuristic scores token overlap against each list.
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "fast", "slow", "small", "data", "value"],
+    "es": ["table", "row", "line", "order", "part"],
+    "de": ["group", "hash", "merge", "sort", "key"],
+    "fr": ["query", "filter", "window", "scan", "join"],
+    "zh": ["spark", "batch", "customer", "join", "scan"],
+}
+
+
+def token_stats(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens, BPE-ish chunks, distinct tokens, char count."""
+    toks = X.tokens_col(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_RE), 0))
+        .cast("long")
+        .alias("bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    )
+
+
+def token_stats_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = X.tokens_sql(text_col)
+    return f"""
+    SELECT {id_col},
+           len({toks})::BIGINT AS ws_tokens,
+           len(regexp_extract_all({text_col}, '{BPE_RE}'))::BIGINT AS bpe_tokens,
+           len(list_distinct({toks}))::BIGINT AS distinct_tokens,
+           length({text_col})::BIGINT AS n_chars
+    FROM ({docs_sql})
+    """
+
+
+def quality_score(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals in 1e-4 fixed point: type/token ratio,
+    mean word length, stopword ratio (union of all lists).  A real pipeline
+    thresholds these to drop boilerplate/gibberish before training."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    toks = X.tokens_col(F.col(text_col))
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    # exact fixed-point via floor division — float rounding modes never enter
+    n_distinct = F.size(F.array_distinct(toks))
+    return docs.select(
+        F.col(id_col),
+        F.floor(n_distinct.cast("long") * 10000 / n).cast("long").alias("ttr_e4"),
+        F.floor((F.length(text_col) - n + 1).cast("long") * 10000 / n)
+        .cast("long")
+        .alias("avg_wordlen_e4"),
+        F.floor(n_stop.cast("long") * 10000 / n_distinct)
+        .cast("long")
+        .alias("stop_ratio_e4"),
+    )
+
+
+def quality_score_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_list = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    toks = X.tokens_sql(text_col)
+    return f"""
+    SELECT {id_col},
+           (len(list_distinct({toks}))::BIGINT * 10000 // len({toks}))::BIGINT AS ttr_e4,
+           ((length({text_col}) - len({toks}) + 1)::BIGINT * 10000
+              // len({toks}))::BIGINT AS avg_wordlen_e4,
+           (len(list_intersect(list_distinct({toks}), {stop_list}))::BIGINT * 10000
+              // len(list_distinct({toks})))::BIGINT AS stop_ratio_e4
+    FROM ({docs_sql})
+    """
+
+
+def lang_id(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-overlap language guess: score(lang) = |distinct tokens ∩
+    stopwords(lang)|, argmax with lexicographic tie-break.  (On the synthetic
+    corpus this is a plumbing-correctness operator — the vocabulary is
+    shared across langs — but the operator shape is the real n-gram/stopword
+    LID pipeline.)"""
+    toks = F.array_distinct(X.tokens_col(F.col(text_col)))
+    scored = docs.select(F.col(id_col), toks.alias("toks"))
+    langs = sorted(LANG_STOPWORDS)
+    score_cols = [
+        F.size(
+            F.array_intersect(F.col("toks"), F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]]))
+        ).alias(f"s_{lg}")
+        for lg in langs
+    ]
+    scored = scored.select(id_col, *score_cols)
+    # argmax via greatest + first matching lang in sorted order
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    guess = F.coalesce(
+        *[F.when(F.col(f"s_{lg}") == best, F.lit(lg)) for lg in langs]
+    )
+    return scored.select(
+        F.col(id_col),
+        guess.alias("lang_guess"),
+        best.cast("long").alias("lang_score"),
+    )
+
+
+def lang_id_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    toks = f"list_distinct({X.tokens_sql(text_col)})"
+    langs = sorted(LANG_STOPWORDS)
+    scores = {
+        lg: f"len(list_intersect({toks}, ["
+        + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lg])
+        + "]))"
+        for lg in langs
+    }
+    best = "greatest(" + ", ".join(scores.values()) + ")"
+    guess = "CASE " + " ".join(
+        f"WHEN {scores[lg]} = {best} THEN '{lg}'" for lg in langs
+    ) + " END"
+    return f"""
+    SELECT {id_col}, {guess} AS lang_guess, {best}::BIGINT AS lang_score
+    FROM ({docs_sql})
+    """
+
+
+def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Rolling-hash document fingerprint + md5-vote simhash60 (xhash P12
+    analogue) — the per-document identity columns a dedup pipeline persists."""
+    return docs.select(
+        F.col(id_col),
+        X.fingerprint_col(F.col(text_col)).alias("rolling_fp"),
+        X.simhash60_col(F.col(text_col)).alias("simhash60"),
+    )
+
+
+def fingerprints_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    return f"""
+    SELECT {id_col},
+           {X.fingerprint_sql(text_col)} AS rolling_fp,
+           {X.simhash60_sql(text_col)} AS simhash60
+    FROM ({docs_sql})
+    """

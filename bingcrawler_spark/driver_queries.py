@@ -1,0 +1,1115 @@
+"""Driver-contract query catalog: every implemented operator from
+SURVEY.md §2 as a (Spark callable, DuckDB oracle SQL) pair over the
+driver's testdata tables (region nation customer supplier part orders
+lineitem events documents embeddings).
+
+Derivation pattern: the crawl-specific inputs (frontier, candidate links,
+seeds, a profiles corpus) are DERIVED deterministically from the testdata
+tables with expressions available in both engines, so the oracle can
+reconstruct byte-identical inputs.  All comparable outputs are
+cross-engine hash-safe: integers, md5 hex strings, or fixed-point *_e4 /
+*_cents columns — never raw floats, arrays, or engine-formatted
+timestamps.
+
+Each entry cites the reference routine it reproduces (SURVEY.md §2 ids).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
+
+from bingcrawler_spark import analytics as A
+from bingcrawler_spark import frontier as FR
+from bingcrawler_spark import xhash as X
+from bingcrawler_spark.dataops import dedup as DD
+from bingcrawler_spark.dataops import multimodal as MM
+from bingcrawler_spark.dataops import similarity as SIM
+from bingcrawler_spark.dataops import textstats as TS
+from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
+from bingcrawler_spark.functions.simhash import simhash64_udf
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# =====================================================================
+# Derived corpora (identical in both engines)
+# =====================================================================
+
+# ---- frontier from customer: 40 hosts, weights 90..110, depths 0..4
+
+
+def _cust_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    return c.select(
+        F.concat(
+            F.lit("http://host"),
+            (k % 40).cast("string"),
+            F.lit(".example/c/"),
+            k.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (k % 40).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.lit(90) + k % 21).cast("int").alias("weight"),
+        (k % 5).cast("int").alias("depth"),
+        F.lit(0).cast("int").alias("discovery_wave"),
+        F.array().cast("array<string>").alias("referrers"),
+    )
+
+
+CUST_FRONTIER_SQL = """
+  SELECT 'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+           || c_custkey::VARCHAR AS url,
+         'host' || (c_custkey % 40)::VARCHAR || '.example' AS host,
+         (90 + c_custkey % 21)::INT AS weight,
+         (c_custkey % 5)::INT AS depth
+  FROM customer
+"""
+
+# ---- profiles corpus from documents (feeds the R-ops analytics layer)
+
+
+def _profiles_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    did = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("doc-"), did.cast("string")).alias("title"),
+        F.slice(toks, 1, 3).alias("authors"),
+        F.array_distinct(toks).alias("keywords"),
+        (F.lit(1990) + did % 30).cast("int").alias("year"),
+        F.col("source").alias("journal"),
+        (F.col("n_chars") % 250).cast("int").alias("cited_by"),
+        F.slice(toks, 5, (did % 4).cast("int")).alias("cited_papers"),
+        F.slice(toks, 9, (did % 3).cast("int")).alias("download_urls"),
+        F.slice(toks, 12, (did % 2).cast("int")).alias("source_urls"),
+    )
+
+
+PROFILES_SQL = """
+  SELECT 'doc-' || doc_id::VARCHAR AS title,
+         string_split(text, ' ')[1:3] AS authors,
+         list_distinct(string_split(text, ' ')) AS keywords,
+         (1990 + doc_id % 30)::INT AS year,
+         source AS journal,
+         (n_chars % 250)::INT AS cited_by,
+         string_split(text, ' ')[5 : 4 + (doc_id % 4)::INT] AS cited_papers,
+         string_split(text, ' ')[9 : 8 + (doc_id % 3)::INT] AS download_urls,
+         string_split(text, ' ')[12 : 11 + (doc_id % 2)::INT] AS source_urls
+  FROM documents
+"""
+
+# ---- documents with injected duplicates (dedup targets)
+
+
+def _docs_with_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dups = d.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang"
+    )
+    return d.unionByName(dups)
+
+
+DOCS_EXACT_DUPS_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _docs_with_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    near = d.where(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near dup tail")).alias("text"),
+        "lang",
+    )
+    return d.unionByName(near)
+
+
+DOCS_NEAR_DUPS_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text || ' near dup tail', lang
+  FROM documents WHERE doc_id % 13 = 0
+"""
+
+
+def _embeddings_with_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    clones = e.where(F.col("vec_id") % 11 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(clones)
+
+
+EMB_CLONES_SQL = """
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+
+# =====================================================================
+# §2.1 Frontier / scheduler operators
+# =====================================================================
+
+
+@register(
+    "f1_frontier_pop",
+    f"""
+    WITH fr AS ({CUST_FRONTIER_SQL})
+    SELECT pop_rank::INT AS pop_rank, url, weight FROM (
+      SELECT url, weight,
+             row_number() OVER (ORDER BY weight DESC, url DESC) AS pop_rank
+      FROM fr
+    ) WHERE pop_rank <= 100
+    """,
+)
+def f1_frontier_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 pop-max order (UrlsDbManager.java:389-408): weight DESC, url DESC."""
+    top = FR.pop_wave(_cust_frontier(spark, sf_dir), 100)
+    return top.select("pop_rank", "url", "weight")
+
+
+@register(
+    "f10_politeness_pop",
+    f"""
+    WITH fr AS ({CUST_FRONTIER_SQL}),
+    rb AS (SELECT 'host' || n_nationkey::VARCHAR || '.example' AS host,
+                  (1 + n_nationkey % 4)::INT AS crawl_budget FROM nation),
+    j AS (SELECT fr.*, coalesce(rb.crawl_budget, 3) AS b
+          FROM fr LEFT JOIN rb USING (host)),
+    el AS (SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY host
+                       ORDER BY weight DESC, url DESC) AS rh FROM j)
+           WHERE rh <= b)
+    SELECT pop_rank::INT AS pop_rank, url, host, weight FROM (
+      SELECT url, host, weight,
+             row_number() OVER (ORDER BY weight DESC, url DESC) AS pop_rank
+      FROM el
+    ) WHERE pop_rank <= 200
+    """,
+)
+def f10_politeness_pop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10 politeness budgets (generalizes maxThreads=5,
+    AbstractParser.java:136): per-host cap via broadcast robots join, then
+    global pop order — exercises the two-phase salted top-k."""
+    n = _t(spark, sf_dir, "nation")
+    robots = n.select(
+        F.concat(F.lit("host"), F.col("n_nationkey").cast("string"), F.lit(".example")).alias("host"),
+        (F.lit(1) + F.col("n_nationkey") % 4).cast("int").alias("crawl_budget"),
+    )
+    top = FR.pop_wave(
+        _cust_frontier(spark, sf_dir), 200, robots=robots, default_budget=3
+    )
+    return top.select("pop_rank", "url", "host", "weight")
+
+
+_F2_CAND_SQL = """
+  SELECT 'parent/' || o_custkey::VARCHAR AS parent_url,
+         o_orderkey::INT AS pop_rank,
+         (o_orderkey % 7)::INT AS link_pos,
+         'http://host' || ((o_orderkey % 2000) % 40)::VARCHAR || '.example/c/'
+            || (o_orderkey % 2000)::VARCHAR AS curl,
+         (o_orderkey % 6)::INT AS child_depth,
+         (100 + o_orderkey % 11)::INT AS child_weight
+  FROM orders
+"""
+
+
+def _f2_inputs(spark: SparkSession, sf_dir: str):
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    child = ok % 2000
+    cand = o.select(
+        F.concat(F.lit("parent/"), F.col("o_custkey").cast("string")).alias("parent_url"),
+        ok.cast("int").alias("pop_rank"),
+        (ok % 7).cast("int").alias("link_pos"),
+        F.concat(
+            F.lit("http://host"),
+            (child % 40).cast("string"),
+            F.lit(".example/c/"),
+            child.cast("string"),
+        ).alias("curl"),
+        (ok % 6).cast("int").alias("child_depth"),
+        (F.lit(100) + ok % 11).cast("int").alias("child_weight"),
+    )
+    fr_all = _cust_frontier(spark, sf_dir)
+    seen = (
+        fr_all.where(F.expr("url LIKE '%/c/%'"))
+        .withColumn("_k", F.element_at(F.split("url", "/"), -1).cast("long"))
+        .where(F.col("_k") % 3 == 0)
+        .drop("_k")
+        .withColumn("status", F.lit(1).cast("int"))
+        .withColumn("simhash", F.lit(None).cast("long"))
+        .withColumn("settle_wave", F.lit(0).cast("int"))
+    )
+    frontier_rest = (
+        fr_all.withColumn("_k", F.element_at(F.split("url", "/"), -1).cast("long"))
+        .where(F.col("_k") % 3 == 1)
+        .drop("_k")
+    )
+    return cand, frontier_rest, seen
+
+
+_F2_STATE_SQL = f"""
+    fr0 AS ({CUST_FRONTIER_SQL}),
+    seen AS (SELECT * FROM fr0 WHERE (string_split(url,'/')[-1])::BIGINT % 3 = 0),
+    fr AS   (SELECT * FROM fr0 WHERE (string_split(url,'/')[-1])::BIGINT % 3 = 1),
+    cand AS ({_F2_CAND_SQL})
+"""
+
+
+@register(
+    "f2_dedup_insert",
+    f"""
+    WITH {_F2_STATE_SQL},
+    existing AS (SELECT url FROM seen UNION SELECT url FROM fr),
+    eligible AS (SELECT * FROM cand WHERE child_depth <= 3),
+    fresh AS (SELECT e.* FROM eligible e LEFT JOIN existing x ON e.curl = x.url
+              WHERE x.url IS NULL),
+    winners AS (SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY curl
+                   ORDER BY pop_rank, link_pos) AS rn FROM fresh) WHERE rn = 1),
+    later AS (SELECT c.curl, count(DISTINCT c.parent_url) AS n
+              FROM cand c JOIN winners w ON c.curl = w.curl
+               AND (c.pop_rank > w.pop_rank OR
+                    (c.pop_rank = w.pop_rank AND c.link_pos > w.link_pos))
+              GROUP BY c.curl)
+    SELECT w.curl AS url, w.child_weight AS weight, w.child_depth AS depth,
+           coalesce(l.n, 0)::INT AS n_referrers
+    FROM winners w LEFT JOIN later l ON w.curl = l.curl
+    """,
+)
+def f2_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2+F3 dedup-insert (UrlsDbManager.java:541-618): anti-join vs
+    seen ∪ frontier, depth cap 3, first-attempt-wins, later attempts
+    accumulate as referrers."""
+    cand, frontier_rest, seen = _f2_inputs(spark, sf_dir)
+    new_rows, _, _ = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
+    return new_rows.select(
+        "url", "weight", "depth", F.size("referrers").cast("int").alias("n_referrers")
+    )
+
+
+@register(
+    "f2b_referrer_append",
+    f"""
+    WITH {_F2_STATE_SQL},
+    refs AS (SELECT curl, count(DISTINCT parent_url) AS n FROM cand GROUP BY curl)
+    SELECT f.url, f.weight, coalesce(r.n, 0)::INT AS n_referrers
+    FROM fr f LEFT JOIN refs r ON f.url = r.curl
+    """,
+)
+def f2b_referrer_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2 KEYEXIST path (UrlsDbManager.java:555-580): duplicate insert
+    attempts append their referrer to the existing frontier row; weight is
+    NOT updated (quirk preserved)."""
+    cand, frontier_rest, seen = _f2_inputs(spark, sf_dir)
+    _, frontier_upd, _ = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
+    return frontier_upd.select(
+        "url", "weight", F.size("referrers").cast("int").alias("n_referrers")
+    )
+
+
+@register(
+    "f4_settle",
+    f"""
+    WITH fr0 AS ({CUST_FRONTIER_SQL}),
+    seen AS (SELECT url, weight, 1 AS status, 0 AS settle_wave FROM fr0
+             WHERE (string_split(url,'/')[-1])::BIGINT % 3 = 0),
+    wave AS (SELECT url, weight,
+                    CASE WHEN (string_split(url,'/')[-1])::BIGINT % 9 = 2
+                         THEN -1 ELSE 1 END AS status,
+                    1 AS settle_wave
+             FROM fr0 WHERE (string_split(url,'/')[-1])::BIGINT % 3 = 2)
+    SELECT url, weight, status::INT AS status, settle_wave::INT AS settle_wave
+    FROM (SELECT * FROM seen UNION ALL SELECT * FROM wave)
+    """,
+)
+def f4_settle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 settle (UrlsDbManager.java:346-381): the wave moves todo → uni
+    with a statusCode; statusCode -1 = not-found (Setting.java:30)."""
+    fr_all = _cust_frontier(spark, sf_dir).withColumn(
+        "_k", F.element_at(F.split("url", "/"), -1).cast("long")
+    )
+    seen0 = (
+        fr_all.where(F.col("_k") % 3 == 0)
+        .withColumn("status", F.lit(1).cast("int"))
+        .withColumn("simhash", F.lit(None).cast("long"))
+        .withColumn("settle_wave", F.lit(0).cast("int"))
+        .drop("_k")
+    )
+    wave = (
+        fr_all.where(F.col("_k") % 3 == 2)
+        .withColumn("pop_rank", F.lit(1))
+        .withColumn(
+            "status",
+            F.when(F.col("_k") % 9 == 2, F.lit(-1)).otherwise(F.lit(1)).cast("int"),
+        )
+        .withColumn("simhash", F.lit(None).cast("long"))
+        .drop("_k")
+    )
+    settled = FR.settle(wave, seen0, wave=1)
+    return settled.select("url", "weight", "status", "settle_wave")
+
+
+@register(
+    "f5_update_weights",
+    f"""
+    WITH fr AS ({CUST_FRONTIER_SQL}),
+    d AS (SELECT 'http://host' || ((n_nationkey * 7 + 1) % 40)::VARCHAR
+                   || '.example/c/' || (n_nationkey * 7 + 1)::VARCHAR AS url,
+                 CASE WHEN n_nationkey % 5 = 0 THEN 200 END AS new_weight,
+                 CASE WHEN n_nationkey % 5 != 0 THEN n_nationkey % 13 - 6 END
+                   AS weight_delta
+          FROM nation)
+    SELECT fr.url,
+           coalesce(d.new_weight,
+                    fr.weight + coalesce(d.weight_delta, 0))::INT AS weight
+    FROM fr LEFT JOIN d USING (url)
+    """,
+)
+def f5_update_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 updateWeight absolute/relative (UrlsDbManager.java:272-289) as a
+    MERGE-shaped broadcast join."""
+    n = _t(spark, sf_dir, "nation")
+    key = F.col("n_nationkey") * 7 + 1
+    deltas = n.select(
+        F.concat(
+            F.lit("http://host"),
+            (key % 40).cast("string"),
+            F.lit(".example/c/"),
+            key.cast("string"),
+        ).alias("url"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(200)).cast("int").alias("new_weight"),
+        F.when(F.col("n_nationkey") % 5 != 0, F.col("n_nationkey") % 13 - 6)
+        .cast("int")
+        .alias("weight_delta"),
+    )
+    out = FR.update_weights(_cust_frontier(spark, sf_dir), deltas)
+    return out.select("url", "weight")
+
+
+@register(
+    "f11_retry_decay",
+    """
+    SELECT 'task/' || o_orderkey::VARCHAR AS url,
+           (94 + o_orderkey % 8 - 1)::INT AS weight
+    FROM orders
+    WHERE o_orderstatus != 'F' AND (94 + o_orderkey % 8 - 1) >= 94
+    """,
+)
+def f11_retry_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 task failure path (ThreadPool.java:158-196 / DownloadPool.java:
+    133-172): success deletes the task row; failure decrements weight and
+    keeps it for retry, dropped below priorityBottomLine=94
+    (DownloadTaskDbManager.java:65)."""
+    o = _t(spark, sf_dir, "orders")
+    tasks = o.select(
+        F.concat(F.lit("task/"), F.col("o_orderkey").cast("string")).alias("url"),
+        (F.lit(94) + F.col("o_orderkey") % 8).cast("int").alias("weight"),
+        (F.col("o_orderstatus") == "F").alias("ok"),
+    )
+    retry = (
+        tasks.where(~F.col("ok"))
+        .withColumn("weight", (F.col("weight") - 1).cast("int"))
+        .where(F.col("weight") >= 94)
+    )
+    return retry.select("url", "weight")
+
+
+@register(
+    "f12_seed_injection",
+    """
+    WITH s AS (
+      SELECT c_custkey AS pos,
+             'http://host' || ((c_custkey % 800) % 40)::VARCHAR || '.example/c/'
+               || (c_custkey % 800)::VARCHAR
+               || CASE WHEN c_custkey % 4 = 0 THEN '#frag' ELSE '' END AS raw,
+             (100 + c_custkey % 11)::INT AS weight
+      FROM customer),
+    c AS (SELECT pos, weight,
+                 CASE WHEN regexp_extract(raw, '^(.+)#', 1) = '' THEN raw
+                      ELSE regexp_extract(raw, '^(.+)#', 1) END AS url
+          FROM s),
+    w AS (SELECT url, weight,
+                 row_number() OVER (PARTITION BY url ORDER BY pos) AS rn
+          FROM c)
+    SELECT url, weight, 0::INT AS depth FROM w WHERE rn = 1
+    """,
+)
+def f12_seed_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 seed injection (BingParser.java:81-107, AbstractParser.java:
+    167-173): canonicalize (P1), first occurrence wins, depth 0."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    kk = k % 800
+    raws = (
+        c.select(
+            F.concat(
+                F.lit("http://host"),
+                (kk % 40).cast("string"),
+                F.lit(".example/c/"),
+                kk.cast("string"),
+                F.when(k % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+            ).alias("raw_url"),
+            (F.lit(100) + k % 11).cast("int").alias("weight"),
+            k.alias("pos"),
+        )
+        .orderBy("pos")
+        .collect()
+    )
+    seeds = [(r.raw_url, r.weight) for r in raws]
+    out = FR.seeds_to_frontier(spark, seeds)
+    return out.select("url", "weight", "depth")
+
+
+# =====================================================================
+# §2.3 Parse / extract scalar operators
+# =====================================================================
+
+
+@register(
+    "p1_canon_url",
+    """
+    WITH s AS (
+      SELECT 'http://h' || (p_partkey % 5)::VARCHAR || '.x/'
+               || replace(p_name, ' ', '-')
+               || CASE p_partkey % 3 WHEN 0 THEN '#s1'
+                                     WHEN 1 THEN '' ELSE '#a#b' END AS raw_url
+      FROM part)
+    SELECT raw_url,
+           CASE WHEN regexp_extract(raw_url, '^(.+)#', 1) = '' THEN raw_url
+                ELSE regexp_extract(raw_url, '^(.+)#', 1) END AS canon_url
+    FROM s
+    """,
+)
+def p1_canon_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 removeSuffix (Util.java:368-376): strip from the LAST '#' when at
+    least one char precedes it — greedy Java matches("(.+)#(.*)")."""
+    p = _t(spark, sf_dir, "part")
+    raw = F.concat(
+        F.lit("http://h"),
+        (F.col("p_partkey") % 5).cast("string"),
+        F.lit(".x/"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("-")),
+        F.when(F.col("p_partkey") % 3 == 0, F.lit("#s1"))
+        .when(F.col("p_partkey") % 3 == 1, F.lit(""))
+        .otherwise(F.lit("#a#b")),
+    )
+    return p.select(raw.alias("raw_url")).select(
+        "raw_url", canon_url_col(F.col("raw_url")).alias("canon_url")
+    )
+
+
+@register(
+    "p2_host_extract",
+    r"""
+    WITH s AS (
+      SELECT CASE s_suppkey % 4
+               WHEN 0 THEN 'http://hostA' || s_suppkey::VARCHAR || '.example/p/x'
+               WHEN 1 THEN 'https://UP' || s_suppkey::VARCHAR || '.EX/q'
+               WHEN 2 THEN 'ftp://x' || s_suppkey::VARCHAR || '/y'
+               ELSE 'bare' || s_suppkey::VARCHAR || '.host/z/w' END AS url
+      FROM supplier),
+    h AS (SELECT url,
+                 CASE WHEN regexp_extract(url, '^(?:(?:http|https)://)?[^/\n]*') = ''
+                      THEN url
+                      ELSE regexp_extract(url, '^(?:(?:http|https)://)?[^/\n]*')
+                 END AS host_url
+          FROM s)
+    SELECT url, host_url,
+           CASE WHEN host_url LIKE '%://%'
+                THEN regexp_replace(host_url, '^.*://', '')
+                ELSE host_url END AS host_name
+    FROM h
+    """,
+)
+def p2_host_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 getHostUrl (Util.java:345-364): optional http(s):// prefix kept
+    verbatim, cut at first '/', never lowercased; 'ftp://x/y' → 'ftp:'
+    (quirk preserved)."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    url = (
+        F.when(k % 4 == 0, F.concat(F.lit("http://hostA"), k.cast("string"), F.lit(".example/p/x")))
+        .when(k % 4 == 1, F.concat(F.lit("https://UP"), k.cast("string"), F.lit(".EX/q")))
+        .when(k % 4 == 2, F.concat(F.lit("ftp://x"), k.cast("string"), F.lit("/y")))
+        .otherwise(F.concat(F.lit("bare"), k.cast("string"), F.lit(".host/z/w")))
+    )
+    return s.select(url.alias("url")).select(
+        "url",
+        host_url_col(F.col("url")).alias("host_url"),
+        host_name_col(F.col("url")).alias("host_name"),
+    )
+
+
+@register(
+    "p14_hamming_pairs",
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           bit_count(xor(__HA__, __HB__))::INT AS hamming
+    FROM nation a, nation b WHERE a.n_nationkey < b.n_nationkey
+    """.replace("__HA__", X.h60_sql("a.n_name")).replace(
+        "__HB__", X.h60_sql("b.n_name")
+    ),
+)
+def p14_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14 hamming distance (TextAnalysis.java:287-300): bit_count(xor) as
+    a pure column expression."""
+    n = _t(spark, sf_dir, "nation")
+    a = n.select(F.col("n_name").alias("name_a"), F.col("n_nationkey").alias("ka"))
+    b = n.select(F.col("n_name").alias("name_b"), F.col("n_nationkey").alias("kb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("ka") < F.col("kb"))
+        .select(
+            "name_a",
+            "name_b",
+            F.bit_count(
+                X.h60_col(F.col("name_a")).bitwiseXOR(X.h60_col(F.col("name_b")))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+
+
+@register("p16_md5_hex", "SELECT c_name, md5(c_name) AS md5_hex FROM customer")
+def p16_md5_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16 (Md5.java:8-34): md5 hex digest — identical to utf-8 md5 for the
+    ASCII keys in scope."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select("c_name", F.md5(F.col("c_name")).alias("md5_hex"))
+
+
+@register("p12_simhash64")  # rows-only: Python-2-hash-clone tokenizer is not SQL
+def p12_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 SimHash-64 (TextAnalysis.java:97-150) — the reference's exact
+    hash/vote math via the pandas UDF; unit-tested against a pure-Python
+    reimplementation (tests/test_simhash.py), rows-only here."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash64_udf(F.col("text")).alias("simhash64"))
+
+
+# =====================================================================
+# §2.4 Relational / analytics operators (R2-R16) over the derived
+# profiles corpus — Spark side goes through bingcrawler_spark.analytics
+# =====================================================================
+
+_E_SQL = """
+    e AS (SELECT title, unnest(authors) AS author, cited_by,
+                 len(cited_papers) AS n_linked, journal, year
+          FROM profiles)
+"""
+
+
+@register(
+    "r2_author_counts",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}), {_E_SQL}
+    SELECT author, count(DISTINCT title)::BIGINT AS weight
+    FROM e GROUP BY author
+    """,
+)
+def r2_author_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2 (BingDataAnalysis.java:335-363)."""
+    return A.author_counts(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r5_timeline",
+    f"""
+    WITH profiles AS ({PROFILES_SQL})
+    SELECT year, count(DISTINCT title)::BIGINT AS n_profiles,
+           sum(cited_by)::BIGINT AS total_cited_by,
+           sum(len(cited_papers))::BIGINT AS total_linked_cited_by
+    FROM profiles GROUP BY year
+    """,
+)
+def r5_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 (BingDataAnalysisUtils.java:112-145)."""
+    return A.timeline(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r6_five_year_buckets",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}),
+    b AS (SELECT *, (floor(year / 5) * 5)::INT AS bucket FROM profiles),
+    pb AS (SELECT bucket, count(DISTINCT title)::BIGINT AS n_profiles,
+                  sum(cited_by)::BIGINT AS total_cited_by
+           FROM b GROUP BY bucket),
+    kw AS (SELECT bucket, unnest(keywords) AS keyword FROM b),
+    kc AS (SELECT bucket, keyword, count(*)::BIGINT AS kw_count
+           FROM kw GROUP BY 1, 2),
+    tk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+             ORDER BY kw_count DESC, keyword DESC) AS kw_rank FROM kc)
+    SELECT pb.bucket, pb.n_profiles, pb.total_cited_by,
+           tk.keyword, tk.kw_count, tk.kw_rank::INT AS kw_rank
+    FROM pb JOIN tk USING (bucket) WHERE tk.kw_rank <= 5
+    """,
+)
+def r6_five_year_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6 (BingDataAnalysisUtils.java:49-108) + R13 ranked rows."""
+    return A.five_year_buckets(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r7_topk_weight",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}), {_E_SQL},
+    ac AS (SELECT author, count(DISTINCT title)::BIGINT AS weight
+           FROM e GROUP BY author)
+    SELECT author, weight, rank::INT AS rank FROM (
+      SELECT author, weight,
+             row_number() OVER (ORDER BY weight DESC, author DESC) AS rank
+      FROM ac
+    ) WHERE rank <= 50
+    """,
+)
+def r7_topk_weight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R7 top-K (WeightDbManager.java:130-159): weight DESC, key DESC."""
+    return A._ranked(
+        A.author_counts(_profiles_from_docs(spark, sf_dir)), "weight", "author", 50
+    )
+
+
+@register(
+    "r8_rank_3way",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}),
+    m AS (
+      SELECT 'cited_by' AS ranking, title, cited_by::BIGINT AS weight FROM profiles
+      UNION ALL
+      SELECT 'linked_cited_by', title, len(cited_papers)::BIGINT FROM profiles
+      UNION ALL
+      SELECT 'sources', title,
+             (len(download_urls) + len(source_urls))::BIGINT FROM profiles)
+    SELECT ranking, title, weight, rank::INT AS rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY ranking
+                 ORDER BY weight DESC, title DESC) AS rank FROM m
+    ) WHERE rank <= 20
+    """,
+)
+def r8_rank_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R8 (BingDataAnalysis.java:305-333)."""
+    return A.rank_profiles_3way(_profiles_from_docs(spark, sf_dir), k=20)
+
+
+@register(
+    "r9_author_rollup",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}), {_E_SQL},
+    ag AS (SELECT author,
+                  count(DISTINCT title)::BIGINT AS n_profiles,
+                  sum(cited_by)::BIGINT AS total_cited_by,
+                  sum(CASE WHEN cited_by > 0 THEN 1 ELSE 0 END) AS _n_pos,
+                  sum(n_linked)::BIGINT AS total_linked_cited_by,
+                  count(DISTINCT journal)::BIGINT AS n_journals,
+                  count(DISTINCT year)::BIGINT AS n_years
+           FROM e GROUP BY author)
+    SELECT author, n_profiles, total_cited_by, total_linked_cited_by,
+           n_journals, n_years,
+           (CASE WHEN _n_pos > 0 THEN total_cited_by // _n_pos
+                 ELSE 0 END)::BIGINT AS avg_cited_by
+    FROM ag
+    """,
+)
+def r9_author_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R9 (BingDataAnalysisUtils.java:285-339) with INT-division average."""
+    return A.author_rollup(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r10_keyword_cooccurrence",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}),
+    ek AS (SELECT DISTINCT * FROM
+            (SELECT title, unnest(keywords) AS kw FROM profiles)),
+    pairs AS (SELECT a.kw AS kw_a, b.kw AS kw_b, count(*)::BIGINT AS pair_count
+              FROM ek a JOIN ek b ON a.title = b.title AND a.kw < b.kw
+              GROUP BY 1, 2),
+    lc AS (SELECT kw AS kw_a, count(DISTINCT title)::BIGINT AS n_left
+           FROM ek GROUP BY kw)
+    SELECT p.kw_a, p.kw_b, p.pair_count, lc.n_left
+    FROM pairs p JOIN lc USING (kw_a)
+    """,
+)
+def r10_keyword_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R10 relatedKeywords (Keyword.java:68-88): co-occurrence self-join."""
+    return A.keyword_cooccurrence(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r11_journal_rollup",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}), {_E_SQL},
+    base AS (SELECT journal, count(DISTINCT title)::BIGINT AS n_profiles,
+                    sum(cited_by)::BIGINT AS total_cited_by,
+                    count(DISTINCT year)::BIGINT AS n_years
+             FROM profiles GROUP BY journal),
+    ag AS (SELECT author,
+                  count(DISTINCT title)::BIGINT AS n_profiles,
+                  sum(cited_by)::BIGINT AS total_cited_by,
+                  sum(CASE WHEN cited_by > 0 THEN 1 ELSE 0 END) AS _n_pos
+           FROM e GROUP BY author),
+    atot AS (SELECT author, total_cited_by FROM ag),
+    je AS (SELECT DISTINCT * FROM
+            (SELECT journal, unnest(authors) AS author FROM profiles)),
+    ja AS (SELECT je.journal, je.author, atot.total_cited_by
+           FROM je JOIN atot USING (author)),
+    top AS (SELECT journal, author AS top_author FROM (
+              SELECT *, row_number() OVER (PARTITION BY journal
+                         ORDER BY total_cited_by DESC, author DESC) AS rn
+              FROM ja) WHERE rn = 1)
+    SELECT base.journal, base.n_profiles, base.total_cited_by, base.n_years,
+           top.top_author
+    FROM base LEFT JOIN top USING (journal)
+    """,
+)
+def r11_journal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11 (BingDataAnalysisUtils.java:148-195): per-journal totals with the
+    top author by R9's total_cited_by (broadcast enrich join)."""
+    return A.journal_rollup(_profiles_from_docs(spark, sf_dir))
+
+
+@register(
+    "r12_allpairs_nn",
+    """
+    WITH fp AS MATERIALIZED (
+      SELECT 'doc-' || doc_id::VARCHAR AS title, __SH__ AS h FROM documents),
+    pairs AS (SELECT a.title AS t_a, b.title AS t_b,
+                     bit_count(xor(a.h, b.h))::INT AS distance
+              FROM fp a, fp b WHERE a.title != b.title)
+    SELECT t_a, t_b, distance, nn_rank::INT AS nn_rank FROM (
+      SELECT *, row_number() OVER (PARTITION BY t_a
+                 ORDER BY distance ASC, t_b ASC) AS nn_rank FROM pairs
+    ) WHERE nn_rank <= 5
+    """.replace("__SH__", X.simhash60_sql("text")),
+)
+def r12_allpairs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 all-pairs SimHash distances (BingDataAnalysisUtils.java:24-39),
+    nearest-5 per title.  fps persisted so the crossJoin reads materialized
+    fingerprints instead of re-deriving them per pair."""
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
+        X.simhash60_col(F.col("text")).alias("simhash"),
+    ).persist()
+    fps.count()  # materialize before the crossJoin fans out
+    out = A.allpairs_simhash_report(fps, nearest=5)
+    return out
+
+
+@register(
+    "r14_counters",
+    """
+    SELECT 'region' AS counter, count(*)::BIGINT AS value FROM region
+    UNION ALL SELECT 'nation', count(*)::BIGINT FROM nation
+    UNION ALL SELECT 'customer', count(*)::BIGINT FROM customer
+    UNION ALL SELECT 'supplier', count(*)::BIGINT FROM supplier
+    UNION ALL SELECT 'part', count(*)::BIGINT FROM part
+    UNION ALL SELECT 'orders', count(*)::BIGINT FROM orders
+    UNION ALL SELECT 'lineitem', count(*)::BIGINT FROM lineitem
+    UNION ALL SELECT 'events', count(*)::BIGINT FROM events
+    UNION ALL SELECT 'documents', count(*)::BIGINT FROM documents
+    UNION ALL SELECT 'embeddings', count(*)::BIGINT FROM embeddings
+    """,
+)
+def r14_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14 crawl counters (BingDataAnalysis.java:100-107) as a metrics table."""
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    out = None
+    for name in tables:
+        row = _t(spark, sf_dir, name).select(
+            F.lit(name).alias("counter"), F.count(F.lit(1)).cast("long").alias("value")
+        ).groupBy("counter").agg(F.sum("value").cast("long").alias("value"))
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "r16_search_gate",
+    f"""
+    WITH profiles AS ({PROFILES_SQL}),
+    exp AS (SELECT title AS exp_title, authors AS exp_authors FROM profiles
+            WHERE (string_split(title, '-')[2])::BIGINT % 50 = 0)
+    SELECT p.title AS cand_title, exp.exp_title
+    FROM profiles p, exp
+    WHERE lower(substr(p.title, 1, 40)) = lower(substr(exp.exp_title, 1, 40))
+       OR len(list_intersect(p.authors, exp.exp_authors)) > 0
+    """,
+)
+def r16_search_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16 search-result gating (BingParser.java:211-244): 40-char
+    case-insensitive title prefix OR author overlap."""
+    profiles = _profiles_from_docs(spark, sf_dir)
+    expected = profiles.where(
+        F.element_at(F.split("title", "-"), 2).cast("long") % 50 == 0
+    )
+    return A.search_gate(profiles, expected)
+
+
+# =====================================================================
+# Training-data pipeline operators (dataops)
+# =====================================================================
+
+
+@register("dd_exact", DD.exact_dedup_sql(DOCS_EXACT_DUPS_SQL))
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash over the corpus with injected clones."""
+    return DD.exact_dedup(_docs_with_exact_dups(spark, sf_dir))
+
+
+@register("dd_minhash_lsh", DD.minhash_lsh_pairs_sql(DOCS_NEAR_DUPS_SQL))
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) near-dup pairs, exact-Jaccard verified."""
+    return DD.minhash_lsh_pairs(_docs_with_near_dups(spark, sf_dir))
+
+
+@register("dd_simhash_neardup", DD.simhash_neardup_pairs_sql(DOCS_NEAR_DUPS_SQL))
+def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash60 banded near-dup pairs (pigeonhole LSH) + hamming verify."""
+    return DD.simhash_neardup_pairs(_docs_with_near_dups(spark, sf_dir))
+
+
+@register("dd_ngram_jaccard", DD.ngram_jaccard_pairs_sql(DOCS_NEAR_DUPS_SQL))
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ground-truth 3-gram Jaccard pairs within a lang block."""
+    return DD.ngram_jaccard_pairs(_docs_with_near_dups(spark, sf_dir))
+
+
+@register("dd_embedding_clones", SIM.embedding_clone_pairs_sql(EMB_CLONES_SQL))
+def dd_embedding_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    return SIM.embedding_clone_pairs(_embeddings_with_clones(spark, sf_dir))
+
+
+_ANN_QUERIES_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10"
+_ANN_LSH_QUERIES_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20"
+
+
+@register(
+    "ann_bruteforce_topk",
+    SIM.brute_force_topk_sql("SELECT vec_id, embedding FROM embeddings", _ANN_QUERIES_SQL, k=5),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 per query vector (broadcast queries, partial
+    top-k per partition before the merge shuffle)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.brute_force_topk(e, e.where(F.col("vec_id") < 10), k=5)
+
+
+@register(
+    "ann_lsh_topk",
+    SIM.lsh_topk_sql("SELECT vec_id, embedding FROM embeddings", _ANN_LSH_QUERIES_SQL, k=3),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN top-3: the approximation itself is verified
+    (the oracle replicates the bucketing exactly)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.lsh_topk(e, e.where(F.col("vec_id") < 20), k=3)
+
+
+_DOCS_SQL = "SELECT doc_id, text, lang FROM documents"
+
+
+@register("ts_token_stats", TS.token_stats_sql(_DOCS_SQL))
+def ts_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.token_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("ts_quality", TS.quality_score_sql(_DOCS_SQL))
+def ts_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.quality_score(_t(spark, sf_dir, "documents"))
+
+
+@register("ts_langid", TS.lang_id_sql(_DOCS_SQL))
+def ts_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@register("ts_fingerprints", TS.fingerprints_sql(_DOCS_SQL))
+def ts_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_media_metadata",
+    """
+    SELECT doc_id::BIGINT AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text))::BIGINT AS n_bytes,
+           md5(text) AS checksum,
+           ('0x' || substr(hex(encode(text)), 1, 2))::INT AS first_byte
+    FROM documents
+    """,
+)
+def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload + JVM-side metadata
+    projection (no UDF) over the packed media table."""
+    media = MM.pack_media(_t(spark, sf_dir, "documents"))
+    return MM.media_metadata(media)
+
+
+# =====================================================================
+# Event-stream operators (batch equivalents of the streaming module)
+# =====================================================================
+
+
+@register(
+    "ev_sessionize",
+    """
+    WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    g AS (SELECT user_id,
+                 CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us))
+    SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+           count(*)::BIGINT AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def ev_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — the batch shape of
+    the streaming applyInPandasWithState sessionizer."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("us")
+    )
+    w = W.partitionBy("user_id").orderBy("us")
+    g = e.withColumn(
+        "new_s",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > 1_800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    return g.groupBy("user_id").agg(
+        F.sum("new_s").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "ev_tumbling",
+    """
+    SELECT (epoch_us(date_trunc('hour', ts)) // 1000000)::BIGINT AS hour_epoch,
+           event_type,
+           count(*)::BIGINT AS n,
+           sum(round(value * 100)::BIGINT)::BIGINT AS value_cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregate — batch shape of the streaming
+    windowed count (money summed as exact cents, never float)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.withColumn(
+            "hour_epoch",
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")).cast("timestamp"))
+                / 1_000_000
+            ).cast("long"),
+        )
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("hour_epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+    )
+
+
+@register(
+    "ev_running_total",
+    """
+    SELECT event_id, user_id,
+           sum(round(value * 100)::BIGINT) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+             ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+    FROM events
+    """,
+)
+def ev_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame (rows-between) — running per-user total."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    e = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), F.col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("long").alias("running_cents"),
+    )
+
+
+# =====================================================================
+# End-to-end crawl (rows-only: the wave loop is not ANSI-SQL-expressible)
+# =====================================================================
+
+
+@register("crawl_3waves")  # rows-only; parity vs pure-Python oracle in tests
+def crawl_3waves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: 3 politeness-budgeted waves over a deterministic synthetic
+    page graph; returns the pop log joined with settle outcomes.  Exact
+    pop-order/seen-set parity vs the pure-Python oracle is asserted in
+    tests/test_parity.py; the driver records a rows-only check here."""
+    import tempfile
+
+    from bingcrawler_spark.crawler import CrawlConfig, CrawlEngine
+    from bingcrawler_spark.statestore import SnapshotStore
+    from bingcrawler_spark.synth import robots_df, seed_urls, synth_pages_df
+
+    n_pages, n_hosts = 150, 8
+    pages = synth_pages_df(spark, n_pages, n_hosts)
+    store = SnapshotStore(spark, tempfile.mkdtemp(prefix="wh_entry_"))
+    eng = CrawlEngine(
+        spark,
+        store,
+        pages,
+        robots_df(spark, n_hosts),
+        CrawlConfig(wave_size=12, max_depth=3),
+    )
+    eng.bootstrap(seed_urls(n_pages, n_hosts))
+    eng.run(3)
+    log = store.read("pop_log")
+    seen = eng.seen().select("url", "status", "depth", "weight")
+    return log.join(seen, "url").orderBy("wave", "pop_rank")

@@ -1,28 +1,39 @@
 """The crawl wave loop (SURVEY.md §3.1 Spark rebuild) with checkpoint/resume.
 
-Each wave (one Iceberg-style snapshot pair + a metrics row):
+Each wave (one snapshot set + a metrics row):
 
   wave_k:  top      = politeness-budgeted top-k of frontier        # F1+F10
            fetched  = pages ⋈ broadcast(top) on url                # S1..S4
            parsed   = text/links/simhash pandas UDFs               # P4,P5,P12
-           seen'    = settle(parsed)                               # F4
+           seen    += settled wave rows        (APPEND delta)      # F4
            cand     = explode(links) → canon → depth+1 → robots    # P1,F3
-           frontier'= (frontier \\ top) ⊎ referrer-appends ⊎ new   # F2,F5
-           metrics += wave row                                     # lineage
+           new,edges= dedup_insert(cand, ...)                      # F2
+           frontier = (frontier \\ top) ∪ new  (overwrite)         # F5
+           ref_edges+= edges                   (APPEND delta)
+           pop_log += wave rows                (APPEND delta)
+           metrics += wave row                 (APPEND delta)      # lineage
 
 "Fetching" a url is a join against the pages table per the input hint —
 the wave side is broadcast (a wave is thousands of rows; the pages table is
 the 100 TB side and is never shuffled: broadcast-hash-join streams it).
 
-State lives in a SnapshotStore (frontier/seen/wave_metrics tables); a killed
-run resumes at the last committed wave (test: kill-and-resume in
-tests/test_crawler.py).
+Scale invariant: per-wave write cost ∝ wave size, NOT state size.  The
+seen-set, referrer edges, pop log and metrics are append-only tables (each
+wave writes only its delta); only the frontier — the bounded working set —
+is rewritten.  Referrer accumulation on existing rows (the reference's
+KEYEXIST path, UrlsDbManager.java:555-580) therefore never rewrites the
+seen-set: edges land in `ref_edges` and fold in at read time
+(frontier.merge_referrers).  State sizes are tracked arithmetically in the
+metrics lineage instead of re-counting O(state) tables every wave.
+
+State lives in a SnapshotStore; a killed run resumes at the last committed
+wave (test: kill-and-resume in tests/test_crawler.py).
 """
 
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -39,6 +50,14 @@ POP_LOG_SCHEMA = T.StructType(
         T.StructField("wave", T.IntegerType()),
         T.StructField("pop_rank", T.IntegerType()),
         T.StructField("url", T.StringType()),
+    ]
+)
+
+EDGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType()),
+        T.StructField("parent_url", T.StringType()),
+        T.StructField("wave", T.IntegerType()),
     ]
 )
 
@@ -69,6 +88,7 @@ class CrawlConfig:
     child_weight_expr: str | None = None  # SQL expr over `curl`, default 100
     compute_simhash: bool = True
     n_partitions: int = 32  # state-table partitioning (host-hash at scale)
+    extra_metrics: bool = True  # n_failed/n_candidates counts (2 extra jobs)
 
 
 class CrawlEngine:
@@ -87,31 +107,62 @@ class CrawlEngine:
         self.pages = pages
         self.robots = robots
         self.cfg = config or CrawlConfig()
+        self._sizes: dict[str, int] | None = None  # {"frontier": n, "seen": n}
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, int]]) -> None:
-        f = FR.seeds_to_frontier(self.spark, seeds)
+        f = FR.seeds_to_frontier(self.spark, seeds).cache()
+        n_seeds = f.count()
         self.store.commit("frontier", f, wave=0)
-        self.store.commit("seen", FR.empty_seen(self.spark), wave=0)
-        self.store.commit(
-            "wave_metrics", self.spark.createDataFrame([], METRICS_SCHEMA), wave=0
+        self.store.append("seen", FR.empty_seen(self.spark), wave=0)
+        self.store.append(
+            "ref_edges", self.spark.createDataFrame([], EDGES_SCHEMA), wave=0
         )
-        self.store.commit(
-            "pop_log", self.spark.createDataFrame([], POP_LOG_SCHEMA), wave=0
+        self.store.log_row(
+            "wave_metrics",
+            {"wave": 0, "frontier_size": int(n_seeds), "seen_size": 0},
         )
+        f.unpersist()
+        self._sizes = {"frontier": int(n_seeds), "seen": 0}
 
     @property
     def wave(self) -> int:
         return self.store.current_wave("frontier")
 
+    def _load_sizes(self) -> dict[str, int]:
+        if self._sizes is None:  # resume path: lineage carries the sizes
+            rows = self.store.read_rows("wave_metrics")
+            m = rows[-1] if rows else {}
+            self._sizes = {
+                "frontier": int(m.get("frontier_size", 0)),
+                "seen": int(m.get("seen_size", 0)),
+            }
+        return self._sizes
+
     def frontier(self) -> DataFrame:
-        return self.store.read("frontier")
+        """Frontier view with referrer edges folded in (read-time merge)."""
+        return FR.merge_referrers(
+            self.store.read("frontier"), self.store.read("ref_edges")
+        )
 
     def seen(self) -> DataFrame:
-        return self.store.read("seen")
+        """Seen-set view with referrer edges folded in (read-time merge)."""
+        return FR.merge_referrers(
+            self.store.read("seen"), self.store.read("ref_edges")
+        )
 
     def metrics(self) -> DataFrame:
-        return self.store.read("wave_metrics")
+        rows = [r for r in self.store.read_rows("wave_metrics") if r["wave"] > 0]
+        return self.spark.createDataFrame(rows, METRICS_SCHEMA) if rows else (
+            self.spark.createDataFrame([], METRICS_SCHEMA)
+        )
+
+    def pop_log(self) -> DataFrame:
+        """Pop-order log — a projection of the seen table (pop_rank rides
+        the settled row; no separate per-wave write)."""
+        return self.store.read("seen").select(
+            F.col("settle_wave").alias("wave"), "pop_rank", "url"
+        )
 
     # -- one wave --------------------------------------------------------------
     def _child_weight(self) -> Column:
@@ -122,8 +173,9 @@ class CrawlEngine:
     def run_wave(self) -> dict:
         t0 = time.time()
         wave = self.wave + 1
-        frontier = self.frontier()
-        seen = self.seen()
+        sizes = self._load_sizes()
+        frontier = self.store.read("frontier")
+        seen = self.store.read("seen")  # union of append deltas
 
         top = FR.pop_wave(
             frontier,
@@ -132,8 +184,11 @@ class CrawlEngine:
             default_budget=self.cfg.default_budget,
             min_weight=self.cfg.min_weight,
         )
-        # the wave is small; cache it — it feeds fetch, settle AND removal
-        top = top.cache()
+        # pop_wave's top-k compiles to TakeOrderedAndProject, which lands
+        # the whole wave in ONE partition — spread it back out so the parse
+        # UDFs below use every core, then cache (it feeds fetch, settle AND
+        # removal)
+        top = top.repartition(self.cfg.n_partitions).cache()
         n_popped = top.count()
         if n_popped == 0:
             return {"wave": wave, "n_popped": 0, "done": True}
@@ -162,74 +217,74 @@ class CrawlEngine:
         )
         parsed = parsed.drop("html").cache()
 
-        # F4: settle — commit 1
-        seen_next = FR.settle(parsed, seen, wave)
+        # F4: settle — append ONLY the wave delta (commit 1).  Delta writes
+        # are coalesced: a wave-sized table written as shuffle-partition-many
+        # tiny files pays file-open cost for nothing.
+        n_delta = max(1, self.cfg.n_partitions // 4)
+        settled = FR.settle(parsed, None, wave)
+        self.store.append("seen", settled.coalesce(n_delta), wave)
+        n_failed = (
+            parsed.where(F.col("status") < 0).count()
+            if self.cfg.extra_metrics
+            else -1
+        )
+        # existence checks below must see this wave's settled rows too
+        seen_now = seen.unionByName(settled)
 
         # F2/F3: candidates → dedup-insert
         cand = FR.make_candidates(parsed, child_weight=self._child_weight())
         if self.robots is not None:
             cand = FR.robots_filter(cand, self.robots)
         cand = cand.cache()
+        n_cand = cand.count() if self.cfg.extra_metrics else -1
 
         frontier_rest = frontier.join(top.select("url"), "url", "left_anti")
 
         bloom = None
         if self.cfg.use_bloom:
-            existing = frontier_rest.select("url").unionByName(
-                seen_next.select("url")
-            )
-            est = max(frontier_rest.count() + n_popped + 1000, 1)
+            existing = frontier_rest.select("url").unionByName(seen_now.select("url"))
+            est = max(sizes["frontier"] + sizes["seen"] + n_popped + 1000, 1)
             bloom = ShardedBloom.build(
                 existing, "url", est, self.cfg.bloom_fpp, self.cfg.bloom_shards
             )
 
-        new_rows, frontier_upd, seen_upd = FR.dedup_insert(
+        new_rows, edges = FR.dedup_insert(
             cand,
             frontier_rest,
-            seen_next,
+            seen_now,
             wave,
             max_depth=self.cfg.max_depth,
             bloom=bloom,
         )
-        frontier_final = frontier_upd.unionByName(new_rows).repartition(
+        new_rows = new_rows.cache()
+        n_new = new_rows.count()
+        frontier_final = frontier_rest.unionByName(new_rows).repartition(
             self.cfg.n_partitions, "host"
         )
 
         # commits (atomic snapshot per table, per wave)
-        self.store.commit("seen", seen_upd, wave)
         self.store.commit("frontier", frontier_final, wave)
-        pop_log_next = self.store.read("pop_log").unionByName(
-            top.select(
-                F.lit(wave).cast("int").alias("wave"),
-                F.col("pop_rank").cast("int"),
-                "url",
-            )
-        )
-        self.store.commit("pop_log", pop_log_next, wave)
+        self.store.append("ref_edges", edges.coalesce(n_delta), wave)
 
-        n_failed = parsed.where(F.col("status") < 0).count()
-        n_cand = cand.count()
-        frontier_prev = frontier.count()  # cheap: parquet snapshot count
-        seen_size = self.store.read("seen").count()
-        frontier_size = self.store.read("frontier").count()
+        # lineage sizes: pure arithmetic — never an O(state) recount
+        sizes["seen"] += int(n_popped)
+        sizes["frontier"] = sizes["frontier"] - int(n_popped) + int(n_new)
         row = {
             "wave": wave,
             "n_popped": int(n_popped),
             "n_fetched": int(n_popped - n_failed),
             "n_failed": int(n_failed),
             "n_candidates": int(n_cand),
-            "n_new": int(frontier_size - (frontier_prev - n_popped)),
-            "frontier_size": int(frontier_size),
-            "seen_size": int(seen_size),
+            "n_new": int(n_new),
+            "frontier_size": sizes["frontier"],
+            "seen_size": sizes["seen"],
             "wall_s": time.time() - t0,
         }
-        metrics_next = self.metrics().unionByName(
-            self.spark.createDataFrame([row], METRICS_SCHEMA)
-        )
-        self.store.commit("wave_metrics", metrics_next, wave)
+        self.store.log_row("wave_metrics", row)
         top.unpersist()
         parsed.unpersist()
         cand.unpersist()
+        new_rows.unpersist()
         row["done"] = False
         return row
 

@@ -310,7 +310,7 @@ def f2_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
     seen ∪ frontier, depth cap 3, first-attempt-wins, later attempts
     accumulate as referrers."""
     cand, frontier_rest, seen = _f2_inputs(spark, sf_dir)
-    new_rows, _, _ = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
+    new_rows, _ = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
     return new_rows.select(
         "url", "weight", "depth", F.size("referrers").cast("int").alias("n_referrers")
     )
@@ -327,11 +327,12 @@ def f2_dedup_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f2b_referrer_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2 KEYEXIST path (UrlsDbManager.java:555-580): duplicate insert
-    attempts append their referrer to the existing frontier row; weight is
-    NOT updated (quirk preserved)."""
+    attempts append their referrer edge; the frontier row itself is never
+    rewritten — merge_referrers folds edges in at read time."""
     cand, frontier_rest, seen = _f2_inputs(spark, sf_dir)
-    _, frontier_upd, _ = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
-    return frontier_upd.select(
+    _, edges = FR.dedup_insert(cand, frontier_rest, seen, wave=1, max_depth=3)
+    merged = FR.merge_referrers(frontier_rest, edges)
+    return merged.select(
         "url", "weight", F.size("referrers").cast("int").alias("n_referrers")
     )
 
@@ -1110,6 +1111,6 @@ def crawl_3waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eng.bootstrap(seed_urls(n_pages, n_hosts))
     eng.run(3)
-    log = store.read("pop_log")
+    log = eng.pop_log()
     seen = eng.seen().select("url", "status", "depth", "weight")
     return log.join(seen, "url").orderBy("wave", "pop_rank")

@@ -53,6 +53,9 @@ SEEN_SCHEMA = T.StructType(
         T.StructField("status", T.IntegerType(), True),
         T.StructField("simhash", T.LongType(), True),
         T.StructField("settle_wave", T.IntegerType(), True),
+        # pop_rank rides the seen row so the pop log is a projection of the
+        # seen table, not a separate per-wave write (fewer jobs per wave)
+        T.StructField("pop_rank", T.IntegerType(), True),
     ]
 )
 
@@ -150,10 +153,12 @@ def pop_wave(
 
 
 def settle(
-    popped_results: DataFrame, seen: DataFrame, wave: int
+    popped_results: DataFrame, seen: DataFrame | None, wave: int
 ) -> DataFrame:
     """popped_results: frontier cols + pop_rank + status + simhash.
-    Returns the new seen set (old ∪ settled wave)."""
+    Returns the settled wave rows (seen-schema); pass seen to get the
+    unioned set, or None for the append delta alone (the engine appends —
+    the seen table is append-only so wave cost never scales with |seen|)."""
     settled = popped_results.select(
         "url",
         "host",
@@ -164,8 +169,9 @@ def settle(
         F.col("status").cast("int"),
         F.col("simhash").cast("long"),
         F.lit(wave).cast("int").alias("settle_wave"),
+        F.col("pop_rank").cast("int"),
     )
-    return seen.unionByName(settled)
+    return settled if seen is None else seen.unionByName(settled)
 
 
 # --------------------------------------------------------------------- F2/F3
@@ -208,6 +214,20 @@ def robots_filter(cand: DataFrame, robots: DataFrame) -> DataFrame:
     return joined.where(allowed).drop("_host", "_path", "disallow_prefixes")
 
 
+def merge_referrers(state: DataFrame, edges: DataFrame) -> DataFrame:
+    """View helper: fold the append-only referrer edge table
+    (url, parent_url) into a state table's `referrers` arrays.  This runs
+    at READ time (analytics / parity checks) — the wave loop itself never
+    rewrites state rows to append referrers (UrlsDbManager.java:555-580
+    semantics preserved, O(state)-per-wave rewrite avoided)."""
+    agg = edges.groupBy("url").agg(F.collect_set("parent_url").alias("_edge_refs"))
+    j = state.join(agg, "url", "left")
+    merged = F.when(F.col("_edge_refs").isNull(), F.array_sort("referrers")).otherwise(
+        F.array_sort(F.array_union("referrers", "_edge_refs"))
+    )
+    return j.withColumn("referrers", merged).drop("_edge_refs")
+
+
 def dedup_insert(
     cand: DataFrame,
     frontier_rest: DataFrame,
@@ -215,83 +235,88 @@ def dedup_insert(
     wave: int,
     max_depth: int | None = DEFAULT_MAX_DEPTH,
     bloom=None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """F2: returns (new_frontier_rows, frontier_with_referrer_appends,
-    seen_with_referrer_appends).
+) -> tuple[DataFrame, DataFrame]:
+    """F2: returns (new_frontier_rows, referrer_edges).
 
     cand: parent_url, pop_rank, link_pos, curl, child_depth, child_weight.
     frontier_rest: frontier minus this wave's pop set. seen: post-settle.
     bloom: optional ShardedBloom over seen∪frontier urls — negatives skip
-    the exact anti-join (SURVEY.md §4.1)."""
-    # -- referrer appends on existing rows (existence precedes depth check) --
-    ref_updates = cand.groupBy(F.col("curl").alias("url")).agg(
-        F.collect_set("parent_url").alias("_new_refs")
+    the exact anti-join (SURVEY.md §4.1).
+
+    referrer_edges = (url, parent_url) for every attempt whose target
+    already exists (the KEYEXIST append path, UrlsDbManager.java:555-580);
+    attempts landing on urls NEW this wave are folded into new_rows'
+    initial referrers (later-than-winner rule) — so full referrers(url) =
+    initial ∪ edges, materialized by merge_referrers at read time."""
+    # -- referrer edges for existing rows (existence precedes depth check) --
+    existing_all = frontier_rest.select("url").unionByName(seen.select("url"))
+    # (not de-duplicated — merge_referrers collect_sets at read time, and a
+    # distinct here would cost an extra shuffle in the wave hot path)
+    edges = cand.join(existing_all, cand.curl == existing_all.url, "left_semi").select(
+        F.col("curl").alias("url"),
+        "parent_url",
+        F.lit(wave).cast("int").alias("wave"),
     )
 
-    def with_refs(state: DataFrame) -> DataFrame:
-        j = state.join(ref_updates, "url", "left")
-        merged = F.when(
-            F.col("_new_refs").isNull(), F.col("referrers")
-        ).otherwise(F.array_sort(F.array_union("referrers", "_new_refs")))
-        return j.withColumn("referrers", merged).drop("_new_refs")
-
-    frontier_upd = with_refs(frontier_rest)
-    seen_upd = with_refs(seen)
-
     # -- new inserts ---------------------------------------------------------
-    eligible = cand
-    if max_depth is not None:
-        eligible = eligible.where(F.col("child_depth") <= F.lit(max_depth))
+    # ONE shuffle: group all attempts per target url; the sorted struct
+    # array encodes the reference's sequential attempt order, so winner
+    # selection (first ELIGIBLE attempt) and later-referrer accumulation
+    # are array expressions instead of a window + self-join + group-by.
+    attempts = cand.groupBy(F.col("curl")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    "pop_rank", "link_pos", "parent_url", "child_depth", "child_weight"
+                )
+            )
+        ).alias("_arr")
+    )
 
-    existing = frontier_rest.select("url").unionByName(seen.select("url"))
     if bloom is not None:
-        flagged = eligible.withColumn("_maybe", bloom.might_contain_col(F.col("curl")))
+        flagged = attempts.withColumn("_maybe", bloom.might_contain_col(F.col("curl")))
         negatives = flagged.where(~F.col("_maybe")).drop("_maybe")
         positives = (
             flagged.where(F.col("_maybe"))
             .drop("_maybe")
-            .join(existing, flagged.curl == existing.url, "left_anti")
+            .join(existing_all, flagged.curl == existing_all.url, "left_anti")
         )
         fresh = negatives.unionByName(positives)
     else:
-        fresh = eligible.join(existing, eligible.curl == existing.url, "left_anti")
+        fresh = attempts.join(
+            existing_all, attempts.curl == existing_all.url, "left_anti"
+        )
 
-    # winner = first eligible attempt in the reference's sequential order
-    w = W.partitionBy("curl").orderBy("pop_rank", "link_pos")
-    winners = (
-        fresh.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
+    elig = (
+        F.filter("_arr", lambda x: x["child_depth"] <= F.lit(max_depth))
+        if max_depth is not None
+        else F.col("_arr")
     )
+    winner = elig[0]
     # referrers of a new url = attempts strictly after the winner (any depth)
-    later = cand.alias("a").join(
-        winners.select(
-            "curl",
-            F.col("pop_rank").alias("_wr"),
-            F.col("link_pos").alias("_wl"),
-        ).alias("b"),
-        "curl",
-    ).where(
-        (F.col("a.pop_rank") > F.col("_wr"))
-        | ((F.col("a.pop_rank") == F.col("_wr")) & (F.col("a.link_pos") > F.col("_wl")))
-    )
-    later_refs = later.groupBy("curl").agg(
-        F.array_sort(F.collect_set("parent_url")).alias("_refs")
+    later = F.filter(
+        "_arr",
+        lambda x: (x["pop_rank"] > winner["pop_rank"])
+        | (
+            (x["pop_rank"] == winner["pop_rank"])
+            & (x["link_pos"] > winner["link_pos"])
+        ),
     )
     new_rows = (
-        winners.join(later_refs, "curl", "left")
+        fresh.withColumn("_elig", elig)
+        .where(F.size("_elig") > 0)
         .select(
             F.col("curl").alias("url"),
             host_name_col(F.col("curl")).alias("host"),
-            F.col("child_weight").alias("weight"),
-            F.col("child_depth").alias("depth"),
+            F.col("_elig")[0]["child_weight"].alias("weight"),
+            F.col("_elig")[0]["child_depth"].alias("depth"),
             F.lit(wave).cast("int").alias("discovery_wave"),
-            F.coalesce(F.col("_refs"), F.array().cast("array<string>")).alias(
-                "referrers"
-            ),
+            F.array_sort(
+                F.array_distinct(F.transform(later, lambda x: x["parent_url"]))
+            ).alias("referrers"),
         )
     )
-    return new_rows, frontier_upd, seen_upd
+    return new_rows, edges
 
 
 # --------------------------------------------------------------------- F5

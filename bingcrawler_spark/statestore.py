@@ -5,9 +5,15 @@ no Iceberg runtime jar, so the same semantics are provided by a minimal
 snapshot store: each table is a directory of immutable snapshots
 (``<wh>/<table>/snap-0000N/`` parquet) plus a JSON manifest whose atomic
 rename is the commit point. On a real cluster the calls map 1:1 to Iceberg
-(`commit` → snapshot-producing overwrite/append, `read` → current snapshot,
-`snapshots` → time travel / per-wave lineage); swap the backend without
-touching the wave loop.
+(`commit` → snapshot-producing overwrite, `append` → fast-append snapshot,
+`read` → current snapshot, `snapshots` → time travel / per-wave lineage);
+swap the backend without touching the wave loop.
+
+Append tables are the scale-critical piece: the seen-set, referrer edges,
+pop log and wave metrics grow monotonically, so each wave writes ONLY its
+delta (cost ∝ wave size) and `read` unions the delta files — never an
+O(state) rewrite per wave.  Only the frontier (bounded working set) is
+rewritten per wave.
 
 Reference analogue: BDB SYNC transactions per op (UrlsDb.java:89-95,
 Db.java:75-80) — durability unit there is one key, here one wave.
@@ -33,6 +39,9 @@ class SnapshotStore:
     def _tdir(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
 
+    def _snap_dir(self, table: str, snap_id: int) -> str:
+        return os.path.join(self._tdir(table), f"snap-{snap_id:05d}")
+
     def _manifest_path(self, table: str) -> str:
         return os.path.join(self._tdir(table), "_manifest.json")
 
@@ -44,15 +53,16 @@ class SnapshotStore:
             return json.load(f)
 
     # ---- commits ---------------------------------------------------------
-    def commit(self, table: str, df: DataFrame, wave: int, meta: dict | None = None) -> str:
-        """Write df as the next snapshot; manifest rename = atomic commit."""
+    def _commit_snap(
+        self, table: str, df: DataFrame, wave: int, mode: str, meta: dict | None
+    ) -> str:
         man = self.manifest(table) or {"current": -1, "snapshots": []}
         snap_id = man["current"] + 1
-        snap_dir = os.path.join(self._tdir(table), f"snap-{snap_id:05d}")
+        snap_dir = self._snap_dir(table, snap_id)
         df.write.mode("overwrite").parquet(snap_dir)
         man["current"] = snap_id
         man["snapshots"].append(
-            {"id": snap_id, "wave": wave, "ts": time.time(), **(meta or {})}
+            {"id": snap_id, "wave": wave, "mode": mode, "ts": time.time(), **(meta or {})}
         )
         tmp = self._manifest_path(table) + ".tmp"
         with open(tmp, "w") as f:
@@ -61,13 +71,42 @@ class SnapshotStore:
         self._expire(table, keep=4)
         return snap_dir
 
+    def commit(self, table: str, df: DataFrame, wave: int, meta: dict | None = None) -> str:
+        """Full-overwrite snapshot (the new current state of the table)."""
+        return self._commit_snap(table, df, wave, "overwrite", meta)
+
+    def append(self, table: str, df: DataFrame, wave: int, meta: dict | None = None) -> str:
+        """Fast-append snapshot: df holds ONLY this wave's delta rows."""
+        return self._commit_snap(table, df, wave, "append", meta)
+
+    def _live_ids(self, man: dict, upto: int | None = None) -> list[int]:
+        """Snapshot ids composing the state at snapshot `upto` (default
+        current): the latest overwrite at-or-before it plus every append
+        after that overwrite."""
+        upto = man["current"] if upto is None else upto
+        snaps = [s for s in man["snapshots"] if s["id"] <= upto]
+        base = -1
+        for s in snaps:
+            if s.get("mode", "overwrite") == "overwrite":
+                base = s["id"]
+        return [s["id"] for s in snaps if s["id"] >= base] if base >= 0 else [
+            s["id"] for s in snaps
+        ]
+
     def _expire(self, table: str, keep: int) -> None:
-        """Drop snapshot data older than the last `keep` (manifest history
-        stays — lineage metadata is tiny; data dirs are not)."""
+        """Drop snapshot data no longer reachable from the last `keep`
+        overwrite snapshots (append deltas stay live as long as an
+        unexpired overwrite depends on them; manifest history stays)."""
         man = self.manifest(table)
         if not man:
             return
-        live = {f"snap-{s['id']:05d}" for s in man["snapshots"][-keep:]}
+        overwrites = [
+            s["id"] for s in man["snapshots"] if s.get("mode", "overwrite") == "overwrite"
+        ]
+        if not overwrites:
+            return  # pure-append table: every delta is live forever
+        horizon = overwrites[-keep] if len(overwrites) >= keep else overwrites[0]
+        live = {f"snap-{i:05d}" for i in range(horizon, man["current"] + 1)}
         for d in os.listdir(self._tdir(table)):
             if d.startswith("snap-") and d not in live:
                 shutil.rmtree(os.path.join(self._tdir(table), d), ignore_errors=True)
@@ -77,10 +116,8 @@ class SnapshotStore:
         man = self.manifest(table)
         if man is None:
             raise FileNotFoundError(f"table {table} has no snapshots")
-        snap_id = man["current"] if snapshot is None else snapshot
-        return self.spark.read.parquet(
-            os.path.join(self._tdir(table), f"snap-{snap_id:05d}")
-        )
+        dirs = [self._snap_dir(table, i) for i in self._live_ids(man, snapshot)]
+        return self.spark.read.parquet(*dirs)
 
     def exists(self, table: str) -> bool:
         return self.manifest(table) is not None
@@ -90,3 +127,33 @@ class SnapshotStore:
         if not man or not man["snapshots"]:
             return -1
         return man["snapshots"][-1]["wave"]
+
+    def last_meta(self, table: str) -> dict | None:
+        man = self.manifest(table)
+        if not man or not man["snapshots"]:
+            return None
+        return man["snapshots"][-1]
+
+    # ---- driver-side row logs (metrics lineage) --------------------------
+    # One-row-per-wave tables (wave metrics) don't justify a Spark job per
+    # commit: they land in a JSONL file with the same atomic-rename
+    # durability, and materialize as a DataFrame on demand.
+
+    def log_row(self, table: str, row: dict) -> None:
+        os.makedirs(self._tdir(table), exist_ok=True)
+        path = os.path.join(self._tdir(table), "rows.jsonl")
+        tmp = path + ".tmp"
+        existing = ""
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = f.read()
+        with open(tmp, "w") as f:
+            f.write(existing + json.dumps(row) + "\n")
+        os.replace(tmp, path)
+
+    def read_rows(self, table: str) -> list[dict]:
+        path = os.path.join(self._tdir(table), "rows.jsonl")
+        if not os.path.exists(path):
+            return []
+        with open(path) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]

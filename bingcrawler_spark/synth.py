@@ -111,13 +111,16 @@ def page_links(i: int, n_pages: int, n_hosts: int) -> list[tuple[str, str]]:
     return out
 
 
-def page_html(i: int, n_pages: int, n_hosts: int) -> bytes:
+def page_html(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> bytes:
+    """n_words sizes each body paragraph — default 30 keeps the parity
+    fixtures byte-stable; the bench passes hundreds to make page size (and
+    therefore parse cost) realistic for Common-Crawl-style html."""
     lang = "zh" if i % _ZH_MOD == 11 else "en"
     vocab = _ZH_VOCAB if lang == "zh" else _EN_VOCAB
     base = i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i
     title = " ".join(_words(base, 7, 5, vocab))
-    p1 = " ".join(_words(base, 8, 30, vocab))
-    p2 = " ".join(_words(base, 9, 30, vocab))
+    p1 = " ".join(_words(base, 8, n_words, vocab))
+    p2 = " ".join(_words(base, 9, n_words, vocab))
     if base != i:  # near-duplicate: one word differs from page i-1
         p2 = p2 + " variant"
     links_html = "".join(
@@ -137,8 +140,8 @@ def page_html(i: int, n_pages: int, n_hosts: int) -> bytes:
     return html.encode("utf-8")
 
 
-def page_row(i: int, n_pages: int, n_hosts: int) -> dict:
-    html = page_html(i, n_pages, n_hosts)
+def page_row(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> dict:
+    html = page_html(i, n_pages, n_hosts, n_words)
     return {
         "url": page_url(i, n_hosts),
         "warc_ts": pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(seconds=i),
@@ -160,7 +163,11 @@ PAGES_SCHEMA = T.StructType(
 
 
 def synth_pages_df(
-    spark: SparkSession, n_pages: int, n_hosts: int = 8, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 8,
+    partitions: int | None = None,
+    n_words: int = 30,
 ) -> DataFrame:
     """Distributed materialization: range → mapInPandas (scales linearly;
     the generator never touches the driver)."""
@@ -170,7 +177,7 @@ def synth_pages_df(
             ids = [int(i) for i in pdf["id"] if page_exists(int(i), n_pages)]
             if not ids:
                 continue
-            yield pd.DataFrame([page_row(i, n_pages, n_hosts) for i in ids])
+            yield pd.DataFrame([page_row(i, n_pages, n_hosts, n_words) for i in ids])
 
     rng = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, PAGES_SCHEMA)

@@ -60,7 +60,7 @@ def test_politeness_budget_respected(spark):
     eng = _engine(spark, wh, wave_size=40)
     eng.bootstrap(seed_urls(N, H))
     eng.run(2)
-    log = eng.store.read("pop_log")
+    log = eng.pop_log()
     seen = eng.seen().select("url", "host")
     per_host = (
         log.join(seen, "url")

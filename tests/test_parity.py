@@ -63,7 +63,7 @@ def _oracle_crawl(n_waves, wave_size, with_robots=True):
 def _assert_parity(eng, o):
     spark_log = [
         (r["wave"], r["pop_rank"], r["url"])
-        for r in eng.store.read("pop_log").orderBy("wave", "pop_rank").collect()
+        for r in eng.pop_log().orderBy("wave", "pop_rank").collect()
     ]
     assert spark_log == o.pop_log  # crawl ORDERING parity (north rule)
 

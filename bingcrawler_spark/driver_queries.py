@@ -363,6 +363,7 @@ def f4_settle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("status", F.lit(1).cast("int"))
         .withColumn("simhash", F.lit(None).cast("long"))
         .withColumn("settle_wave", F.lit(0).cast("int"))
+        .withColumn("pop_rank", F.lit(None).cast("int"))
         .drop("_k")
     )
     wave = (

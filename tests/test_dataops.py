@@ -1,0 +1,196 @@
+"""Training-data pipeline operators: dedup, similarity, text stats,
+multimodal plumbing — semantic checks against pure-Python recomputation
+and injected ground truth."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from bingcrawler_spark.dataops import dedup as DD
+from bingcrawler_spark.dataops import multimodal as MM
+from bingcrawler_spark.dataops import similarity as SIM
+from bingcrawler_spark.dataops import textstats as TS
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ------------------------------------------------------------------ dedup
+
+
+def test_exact_dedup_finds_injected_clones(docs):
+    clones = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(clones)
+    out = DD.exact_dedup(corpus)
+    dups = {r.doc_id: r.canonical_id for r in out.where("is_dup = 1").collect()}
+    want = {r.doc_id + 5000: r.doc_id for r in docs.where("doc_id % 9 = 0").collect()}
+    assert dups == want
+    assert out.where("is_dup = 0").count() == docs.count()
+
+
+def _near_corpus(docs):
+    near = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+        "lang",
+    )
+    return docs.select("doc_id", "text", "lang").unionByName(near)
+
+
+def test_minhash_lsh_finds_injected_neardups(docs):
+    corpus = _near_corpus(docs)
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in DD.minhash_lsh_pairs(corpus, min_jaccard_pct=50).collect()
+    }
+    expected = {(r.doc_id, r.doc_id + 5000) for r in docs.where("doc_id % 17 = 0").collect()}
+    assert expected <= pairs  # LSH with 4 bands must catch ~identical docs
+
+
+def test_simhash_neardup_finds_injected_clones(docs):
+    # identical text → identical fingerprint → every band matches
+    # (pigeonhole guarantees detection only below n_bands hamming; the
+    # tiny 31-word synthetic vocabulary makes one-token edits flip ~10
+    # of 60 bits, so the guaranteed case is the exact clone)
+    clones = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 5000).alias("doc_id"), "text", "lang"
+    )
+    corpus = docs.select("doc_id", "text", "lang").unionByName(clones)
+    out = DD.simhash_neardup_pairs(corpus, max_hamming=8)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in out.collect()}
+    for r in docs.where("doc_id % 17 = 0").collect():
+        assert pairs.get((r.doc_id, r.doc_id + 5000)) == 0
+
+
+def test_ngram_jaccard_exact_counts(docs):
+    corpus = _near_corpus(docs).where("doc_id % 17 = 0 or doc_id >= 5000")
+    out = DD.ngram_jaccard_pairs(corpus, min_jaccard_pct=80)
+    for r in out.collect():
+        assert r.doc_b - r.doc_a == 5000
+        assert r.n_common * 100 >= r.n_union * 80
+
+
+# -------------------------------------------------------------- similarity
+
+
+def test_brute_force_topk_matches_numpy(emb):
+    rows = emb.limit(200).collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    corpus = emb.limit(200)
+    out = SIM.brute_force_topk(corpus, corpus.where("vec_id < 5"), k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    norms = np.linalg.norm(mat, axis=1)
+    for q in range(5):
+        qi = int(np.where(ids == q)[0][0])
+        cos = mat @ mat[qi] / (norms * norms[qi])
+        order = sorted(
+            [(float(-cos[j]), int(ids[j])) for j in range(len(ids)) if ids[j] != q]
+        )[:3]
+        want = [(rank + 1, nid) for rank, (_, nid) in enumerate(order)]
+        assert sorted(got[q]) == want
+
+
+def test_lsh_topk_respects_buckets(emb):
+    out = SIM.lsh_topk(emb, emb.where("vec_id < 10"), k=3, n_bits=6)
+    joined = (
+        out.join(
+            emb.select(
+                F.col("vec_id").alias("query_id"),
+                SIM.sign_bucket_col(F.col("embedding"), 6).alias("qb"),
+            ),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"),
+                SIM.sign_bucket_col(F.col("embedding"), 6).alias("nb"),
+            ),
+            "neighbor_id",
+        )
+    )
+    assert joined.where("qb != nb").count() == 0
+
+
+def test_embedding_clone_pairs(emb):
+    clones = emb.where("vec_id % 19 = 0").select(
+        (F.col("vec_id") + 9000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(clones)
+    out = SIM.embedding_clone_pairs(corpus, min_cos_e4=9999)
+    got = {(r.vec_a, r.vec_b) for r in out.collect()}
+    want = {(r.vec_id, r.vec_id + 9000) for r in emb.where("vec_id % 19 = 0").collect()}
+    assert want <= got
+
+
+# --------------------------------------------------------------- textstats
+
+
+def test_token_stats_matches_python(docs):
+    sample = docs.limit(20)
+    got = {r.doc_id: r for r in TS.token_stats(sample).collect()}
+    for r in sample.collect():
+        toks = r.text.split(" ")
+        g = got[r.doc_id]
+        assert g.ws_tokens == len(toks)
+        assert g.distinct_tokens == len(set(toks))
+        assert g.n_chars == len(r.text)
+
+
+def test_quality_score_fixed_point(docs):
+    sample = docs.limit(20)
+    got = {r.doc_id: r for r in TS.quality_score(sample).collect()}
+    stop = sorted({w for ws in TS.LANG_STOPWORDS.values() for w in ws})
+    for r in sample.collect():
+        toks = r.text.split(" ")
+        d = set(toks)
+        g = got[r.doc_id]
+        assert g.ttr_e4 == len(d) * 10000 // len(toks)
+        assert g.stop_ratio_e4 == len(d & set(stop)) * 10000 // len(d)
+
+
+def test_lang_id_deterministic(docs):
+    a = TS.lang_id(docs.limit(30)).collect()
+    b = TS.lang_id(docs.limit(30)).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.lang_guess in TS.LANG_STOPWORDS for r in a)
+
+
+# --------------------------------------------------------------- multimodal
+
+
+def test_multimodal_plumbing(docs):
+    media = MM.pack_media(docs.limit(30))
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r.media_id: r for r in feats}
+    for r in media.collect():
+        f = by_id[r.media_id]
+        assert len(f.features) == MM.FEATURE_DIM
+        assert f.n_bytes == len(r.media)
+        # deterministic fake features match the driver-side stub
+        want = MM._fake_features(bytes(r.media))
+        assert [round(x, 5) for x in f.features] == [round(x, 5) for x in want]
+    meta = {r.media_id: r for r in MM.media_metadata(media).collect()}
+    for r in media.collect():
+        m = meta[r.media_id]
+        assert m.checksum == hashlib.md5(bytes(r.media)).hexdigest()
+        assert m.first_byte == bytes(r.media)[0]
+
+
+def test_decode_media_is_honestly_stubbed():
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(b"\x89PNG", "image")

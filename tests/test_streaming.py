@@ -1,0 +1,51 @@
+"""Structured Streaming parity: the streaming operators must agree with
+their batch driver-query counterparts when the stream is drained with
+availableNow over the same events data."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bingcrawler_spark import driver_queries as DQ
+from bingcrawler_spark import streaming as ST
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir):
+    d = tempfile.mkdtemp(prefix="ev_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    return d
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = ST.stream_events(spark, events_dir)
+    out = ST.run_to_memory(
+        ST.tumbling_counts(stream), "t_tumbling", output_mode="complete"
+    )
+    batch = DQ.ev_tumbling(spark, sf_dir)
+    cols = ["hour_epoch", "event_type", "n", "value_cents"]
+    assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = ST.stream_events(spark, events_dir)
+    out = ST.run_to_memory(ST.sessionize_stream(stream), "t_sessions")
+    # update-mode sink: keep the LAST row per user (monotone counters)
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_sessions").alias("n_sessions"),
+            F.max("n_events").alias("n_events"),
+        )
+    )
+    batch = DQ.ev_sessionize(spark, sf_dir)
+    cols = ["user_id", "n_sessions", "n_events"]
+    assert _rows(final, cols) == _rows(batch, cols)

@@ -1,0 +1,94 @@
+"""Cross-engine hash parity: every xhash primitive must produce EXACTLY
+the same values in Spark and DuckDB — that equality is what makes the
+fingerprint operators oracle-checkable (driver gate)."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from bingcrawler_spark import xhash as X
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").limit(80)
+
+
+def _duck(sf_dir, sql):
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    return con.sql(sql).fetchall()
+
+
+def test_h32_h60_match(spark, sf_dir, docs):
+    got = {
+        r.doc_id: (r.h32, r.h60)
+        for r in docs.select(
+            "doc_id",
+            X.h32_col(F.col("text")).alias("h32"),
+            X.h60_col(F.col("text")).alias("h60"),
+        ).collect()
+    }
+    want = dict(
+        (i, (a, b))
+        for i, a, b in _duck(
+            sf_dir,
+            f"SELECT doc_id, {X.h32_sql('text')}, {X.h60_sql('text')} "
+            "FROM documents WHERE doc_id < 80",
+        )
+    )
+    assert got == want
+
+
+def test_minhash_and_fingerprint_match(spark, sf_dir, docs):
+    sh = X.shingles_col(F.col("text"))
+    got = {
+        r.doc_id: (list(r.sig), r.fp)
+        for r in docs.select(
+            "doc_id",
+            X.minhash_sig_col(sh, 8).alias("sig"),
+            X.fingerprint_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    want = dict(
+        (i, (list(s), f))
+        for i, s, f in _duck(
+            sf_dir,
+            f"SELECT doc_id, {X.minhash_sig_sql(X.shingles_sql('text'), 8)}, "
+            f"{X.fingerprint_sql('text')} FROM documents WHERE doc_id < 80",
+        )
+    )
+    assert got == want
+
+
+def test_simhash60_match_and_neardup_property(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
+    got = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", X.simhash60_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    want = dict(
+        _duck(
+            sf_dir,
+            f"SELECT doc_id, {X.simhash60_sql('text')} FROM documents "
+            "WHERE doc_id < 12",
+        )
+    )
+    assert got == want
+    # near-identical texts → small hamming distance (bit-vote property)
+    row = docs.select(
+        X.simhash60_col(F.col("text")).alias("a"),
+        X.simhash60_col(F.concat(F.col("text"), F.lit(" tail"))).alias("b"),
+    ).first()
+    assert bin(row.a ^ row.b).count("1") <= 12
+
+
+def test_minhash_params_fixed():
+    p = X.minhash_params(16)
+    assert len(p) == 16 and len(set(p)) == 16
+    assert all(0 < a < X.MERSENNE_P and 0 <= b < X.MERSENNE_P for a, b in p)
+    assert p == X.minhash_params(16)  # deterministic

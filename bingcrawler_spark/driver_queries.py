@@ -1115,3 +1115,141 @@ def crawl_3waves(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = eng.pop_log()
     seen = eng.seen().select("url", "status", "depth", "weight")
     return log.join(seen, "url").orderBy("wave", "pop_rank")
+
+
+# =====================================================================
+# §2.2 / §2.3 remaining source + scalar operators
+# =====================================================================
+
+
+@register(
+    "s6_download_first_hit",
+    """
+    WITH avail AS (
+      SELECT 'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+               || c_custkey::VARCHAR AS url
+      FROM customer WHERE c_custkey % 3 != 2),
+    tasks AS (
+      SELECT o_orderkey AS task_id,
+             list_sort(['http://host' || ((o_orderkey % 2000) % 40)::VARCHAR
+                          || '.example/c/' || (o_orderkey % 2000)::VARCHAR,
+                        'http://host' || (((o_orderkey + 77) % 2000) % 40)::VARCHAR
+                          || '.example/c/' || ((o_orderkey + 77) % 2000)::VARCHAR,
+                        'http://host' || (((o_orderkey + 154) % 2000) % 40)::VARCHAR
+                          || '.example/c/' || ((o_orderkey + 154) % 2000)::VARCHAR])
+               AS backups
+      FROM orders),
+    tries AS (SELECT task_id, u.att, u.url FROM tasks,
+              (SELECT unnest(generate_series(1, 3)) AS att) u0,
+              LATERAL (SELECT u0.att AS att, backups[u0.att] AS url) u),
+    hits AS (SELECT t.task_id, t.att, t.url FROM tries t
+             JOIN avail a ON a.url = t.url),
+    first_hit AS (SELECT task_id, min(att) AS att FROM hits GROUP BY task_id)
+    SELECT t.task_id, h.url AS hit_url, f.att::INT AS n_attempt
+    FROM tasks t
+    JOIN first_hit f ON f.task_id = t.task_id
+    JOIN hits h ON h.task_id = f.task_id AND h.att = f.att
+    """,
+)
+def s6_download_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 multi-URL downloader (DownloadTask.java:72-172): backup urls are
+    tried in sorted order (TreeSet), first success wins.  Spark shape:
+    sorted array → posexplode → semi-join the pages table → min position
+    per task — the reference's retry loop becomes one join."""
+    o = _t(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+
+    def u(key):
+        return F.concat(
+            F.lit("http://host"),
+            ((key % 2000) % 40).cast("string"),
+            F.lit(".example/c/"),
+            (key % 2000).cast("string"),
+        )
+
+    tasks = o.select(
+        ok.alias("task_id"),
+        F.array_sort(F.array(u(ok), u(ok + 77), u(ok + 154))).alias("backups"),
+    )
+    avail = _cust_frontier(spark, sf_dir).where(
+        F.element_at(F.split("url", "/"), -1).cast("long") % 3 != 2
+    ).select("url")
+    tries = tasks.select(
+        "task_id", F.posexplode("backups").alias("pos", "url")
+    ).withColumn("att", F.col("pos") + 1)
+    hits = tries.join(avail, "url", "left_semi")
+    first = hits.groupBy("task_id").agg(F.min("att").alias("att"))
+    return (
+        first.join(hits, ["task_id", "att"])
+        .select("task_id", F.col("url").alias("hit_url"), F.col("att").cast("int").alias("n_attempt"))
+    )
+
+
+@register(
+    "p3_unescape_entities",
+    """
+    WITH s AS (
+      SELECT p_partkey,
+             'http://x.y/q?a=' || (p_partkey % 9)::VARCHAR
+               || '&amp;b=1&amp;c=&lt;2&gt;'
+               || CASE WHEN p_partkey % 2 = 0 THEN '&copy;&trade;' ELSE '' END
+               AS raw
+      FROM part)
+    SELECT p_partkey,
+           replace(replace(replace(replace(replace(replace(replace(replace(
+             raw, '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&yen;', '¥'),
+             '&cent;', '¢'), '&copy;', '©'), '&reg;', '®'), '&trade;', '™')
+             AS unescaped
+    FROM s
+    """,
+)
+def p3_unescape_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 fixed 8-entity unescape (Util.java:205-215), applied to extracted
+    link urls in the reference — same replacement order."""
+    from bingcrawler_spark.functions.canon import unescape_entities_col
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = F.concat(
+        F.lit("http://x.y/q?a="),
+        (k % 9).cast("string"),
+        F.lit("&amp;b=1&amp;c=&lt;2&gt;"),
+        F.when(k % 2 == 0, F.lit("&copy;&trade;")).otherwise(F.lit("")),
+    )
+    return p.select("p_partkey", raw.alias("raw")).select(
+        "p_partkey", unescape_entities_col(F.col("raw")).alias("unescaped")
+    )
+
+
+@register(
+    "p6_charset_sniff",
+    """
+    WITH s AS (
+      SELECT s_suppkey,
+             CASE s_suppkey % 3
+               WHEN 0 THEN '<meta charset="utf-8"><p>x</p>'
+               WHEN 1 THEN '<meta charset="gbk"><i charset="latin-1">'
+               ELSE '<html><p>no charset</p></html>' END AS html
+      FROM supplier)
+    SELECT s_suppkey,
+           CASE WHEN regexp_extract(html, 'charset="(.+)"', 1) = ''
+                THEN 'utf-8' ELSE regexp_extract(html, 'charset="(.+)"', 1)
+           END AS charset
+    FROM s
+    """,
+)
+def p6_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 getCharset (CommonAnalysis.java:540-558): GREEDY charset="(.+)"
+    — captures to the LAST quote (quirk preserved), default utf-8."""
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    html = (
+        F.when(k % 3 == 0, F.lit('<meta charset="utf-8"><p>x</p>'))
+        .when(k % 3 == 1, F.lit('<meta charset="gbk"><i charset="latin-1">'))
+        .otherwise(F.lit("<html><p>no charset</p></html>"))
+    )
+    got = F.regexp_extract(html, 'charset="(.+)"', 1)
+    return s.select(
+        "s_suppkey",
+        F.when(got == "", F.lit("utf-8")).otherwise(got).alias("charset"),
+    )

@@ -71,6 +71,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("n_new", T.LongType()),
         T.StructField("frontier_size", T.LongType()),
         T.StructField("seen_size", T.LongType()),
+        T.StructField("max_partition_rows", T.LongType()),
         T.StructField("wall_s", T.DoubleType()),
     ]
 )
@@ -258,8 +259,12 @@ class CrawlEngine:
         )
         new_rows = new_rows.cache()
         n_new = new_rows.count()
+        # partition by (host, salt): host-locality for the politeness rank,
+        # salt so a hot host (30%+ of a web crawl) cannot pin one partition
         frontier_final = frontier_rest.unionByName(new_rows).repartition(
-            self.cfg.n_partitions, "host"
+            self.cfg.n_partitions,
+            F.col("host"),
+            F.pmod(F.xxhash64("url"), F.lit(8)),
         )
 
         # commits (atomic snapshot per table, per wave)
@@ -269,6 +274,18 @@ class CrawlEngine:
         # lineage sizes: pure arithmetic — never an O(state) recount
         sizes["seen"] += int(n_popped)
         sizes["frontier"] = sizes["frontier"] - int(n_popped) + int(n_new)
+        # per-partition lineage (north rule): how balanced is the frontier
+        # across its partitions after the salted repartition?
+        max_part = -1
+        if self.cfg.extra_metrics:
+            hist = (
+                self.store.read("frontier")
+                .groupBy(F.spark_partition_id().alias("pid"))
+                .count()
+                .agg(F.max("count"))
+                .first()[0]
+            )
+            max_part = int(hist or 0)
         row = {
             "wave": wave,
             "n_popped": int(n_popped),
@@ -278,6 +295,7 @@ class CrawlEngine:
             "n_new": int(n_new),
             "frontier_size": sizes["frontier"],
             "seen_size": sizes["seen"],
+            "max_partition_rows": max_part,
             "wall_s": time.time() - t0,
         }
         self.store.log_row("wave_metrics", row)

@@ -331,3 +331,26 @@ def update_weights(frontier: DataFrame, deltas: DataFrame) -> DataFrame:
         F.col("weight") + F.coalesce(F.col("weight_delta"), F.lit(0)),
     )
     return j.withColumn("weight", new_w.cast("int")).drop("new_weight", "weight_delta")
+
+
+# --------------------------------------------------------------------- F7
+
+
+def merge_messages(state: DataFrame, updates: DataFrame) -> DataFrame:
+    """F7 per-URL k-v metadata merge (UrlsDbManager.java:117-236): the
+    reference putMessage overwrites the key within the url's map; here a
+    broadcast MERGE — updates(url, messages: map<string,string>) folds into
+    the state's `messages` column with update-wins semantics
+    (map_concat keeps the LAST occurrence per key in Spark when
+    spark.sql.mapKeyDedupPolicy=LAST_WIN; we splice explicitly so the
+    semantics hold regardless of session config)."""
+    upd = updates.select("url", F.col("messages").alias("_upd"))
+    j = state.join(F.broadcast(upd), "url", "left")
+    base = F.coalesce(
+        F.col("messages"), F.expr("map()").cast("map<string,string>")
+    )
+    new = F.coalesce(F.col("_upd"), F.expr("map()").cast("map<string,string>"))
+    # update-wins: keep base entries whose key is NOT updated, then add new
+    kept = F.map_filter(base, lambda k, _: ~F.array_contains(F.map_keys(new), k))
+    merged = F.map_concat(kept, new)
+    return j.withColumn("messages", merged).drop("_upd")

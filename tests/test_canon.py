@@ -73,3 +73,23 @@ def test_spark_columns_match_python(spark):
         assert r["host_name"] == py_host_name(r["url"]), r["url"]
         assert r["unesc"] == py_unescape_entities(r["url"]), r["url"]
         assert r["md5"] == py_md5_hex(r["url"]), r["url"]
+
+
+def test_f7_merge_messages(spark):
+    """F7 (UrlsDbManager.java:117-236): per-URL k-v merge, update wins."""
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.frontier import merge_messages
+
+    state = spark.createDataFrame(
+        [("u1", {"a": "1", "b": "2"}), ("u2", None), ("u3", {"x": "9"})],
+        "url string, messages map<string,string>",
+    )
+    updates = spark.createDataFrame(
+        [("u1", {"b": "20", "c": "3"}), ("u2", {"k": "v"})],
+        "url string, messages map<string,string>",
+    )
+    out = {r.url: r.messages for r in merge_messages(state, updates).collect()}
+    assert out["u1"] == {"a": "1", "b": "20", "c": "3"}
+    assert out["u2"] == {"k": "v"}
+    assert out["u3"] == {"x": "9"}

@@ -72,3 +72,50 @@ def test_politeness_budget_respected(spark):
     for r in per_host:
         cap = 8 if r["host"] == "host0.example" else 16
         assert r["count"] <= cap, r
+
+
+def test_hot_host_salted_popwave_exact(spark):
+    """Skew fixture (SURVEY §7e): one host holds 60% of a 50k frontier.
+    The two-phase salted top-k must return EXACTLY the rows a plain
+    per-host row_number would — salting changes the plan, not the set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from bingcrawler_spark import frontier as FR
+
+    n = 50_000
+    base = spark.range(n).select(
+        F.when(F.col("id") % 10 < 6, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("h"), (F.col("id") % 37).cast("string"), F.lit(".example")))
+        .alias("host"),
+        F.col("id"),
+    )
+    frontier = base.select(
+        F.concat(F.lit("http://"), "host", F.lit("/p/"), F.col("id").cast("string")).alias("url"),
+        "host",
+        (F.col("id") % 50 + 60).cast("int").alias("weight"),
+        F.lit(0).cast("int").alias("depth"),
+        F.lit(0).cast("int").alias("discovery_wave"),
+        F.array().cast("array<string>").alias("referrers"),
+    )
+    robots = spark.createDataFrame(
+        [("hot.example", 25)], "host string, crawl_budget int"
+    )
+    got = {
+        (r.pop_rank, r.url)
+        for r in FR.pop_wave(frontier, 400, robots=robots, default_budget=12).collect()
+    }
+    wh = W.partitionBy("host").orderBy(F.col("weight").desc(), F.col("url").desc())
+    budget = F.when(F.col("host") == "hot.example", 25).otherwise(12)
+    want_df = (
+        frontier.withColumn("_r", F.row_number().over(wh))
+        .where(F.col("_r") <= budget)
+        .orderBy(F.col("weight").desc(), F.col("url").desc())
+        .limit(400)
+    )
+    wg = W.orderBy(F.col("weight").desc(), F.col("url").desc())
+    want = {
+        (r.pop_rank, r.url)
+        for r in want_df.withColumn("pop_rank", F.row_number().over(wg)).collect()
+    }
+    assert got == want

@@ -171,7 +171,16 @@ def worker_main(cores: int, job: str) -> None:
         return
     from bingcrawler_spark.session import get_spark
 
-    spark = get_spark(f"bench-{job}{cores}", cores=cores, shuffle_partitions=2 * cores)
+    # the process is pinned to `cores` CPUs (spawn_worker taskset); tell the
+    # JVM so GC/JIT pools are sized for the pinned set, not the host's 32
+    spark = get_spark(
+        f"bench-{job}{cores}",
+        cores=cores,
+        shuffle_partitions=2 * cores,
+        extra_conf={
+            "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"
+        },
+    )
     out = run_crawl(spark) if job == "crawl" else run_parse_stage(spark)
     out["cores"] = cores
     spark.stop()

@@ -194,3 +194,35 @@ def fingerprint_sql(expr: str) -> str:
         f"t -> {h32_sql('t')} % {MERSENNE_P})), "
         f"(acc, x) -> (acc * {FP_BASE} + x) % {MERSENNE_P})"
     )
+
+
+def simhash60_df(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Scalable simhash60: identical math to simhash60_col, computed via
+    explode + aggregate instead of one 60-fold column expression.
+
+    The column form nests 60 `aggregate` folds — Catalyst's generated code
+    for it exceeds JIT limits and falls back to interpreted evaluation,
+    which is fine for oracle-scale rows but ~10x slower per row.  This form
+    stays in whole-stage codegen: one row per (doc, distinct token), a
+    64-way bit explode, and two hash aggregations (both partial-aggregatable
+    map-side).  Returns (id_col, simhash60)."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(F.col(text_col)))).alias("_t")
+    ).select(F.col(id_col), h60_col(F.col("_t")).alias("_h"))
+    bits = toks.select(
+        id_col, "_h", F.explode(F.sequence(F.lit(0), F.lit(59))).alias("_b")
+    )
+    # column-valued shift amounts need the SQL form (the python wrapper
+    # only takes int literals)
+    votes = bits.groupBy(id_col, "_b").agg(
+        F.sum(F.expr("shiftright(_h, _b) % 2 * 2 - 1")).alias("_v")
+    )
+    return votes.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("_v") > 0, F.expr("shiftleft(1L, _b)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash60")
+    )

@@ -92,3 +92,17 @@ def test_minhash_params_fixed():
     assert len(p) == 16 and len(set(p)) == 16
     assert all(0 < a < X.MERSENNE_P and 0 <= b < X.MERSENNE_P for a, b in p)
     assert p == X.minhash_params(16)  # deterministic
+
+
+def test_simhash60_df_equals_column_form(spark, sf_dir):
+    from bingcrawler_spark.xhash import simhash60_df
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    via_col = {
+        r.doc_id: r.sh
+        for r in docs.select(
+            "doc_id", X.simhash60_col(F.col("text")).alias("sh")
+        ).collect()
+    }
+    via_df = {r.doc_id: r.simhash60 for r in simhash60_df(docs).collect()}
+    assert via_col == via_df

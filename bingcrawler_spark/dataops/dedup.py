@@ -163,8 +163,8 @@ def simhash_neardup_pairs(
     least one exact band), candidates verified by bit_count(xor) — the
     reference's hamming distance (TextAnalysis.java:287-300, P14)."""
     width = 60 // n_bands
-    fp = docs.select(
-        F.col(id_col).alias("doc"), X.simhash60_col(F.col(text_col)).alias("fp")
+    fp = X.simhash60_df(docs, id_col=id_col, text_col=text_col).select(
+        F.col(id_col).alias("doc"), F.col("simhash60").alias("fp")
     )
     banded = fp.select(
         "doc",

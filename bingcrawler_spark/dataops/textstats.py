@@ -143,11 +143,11 @@ def lang_id_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint + md5-vote simhash60 (xhash P12
     analogue) — the per-document identity columns a dedup pipeline persists."""
-    return docs.select(
-        F.col(id_col),
-        X.fingerprint_col(F.col(text_col)).alias("rolling_fp"),
-        X.simhash60_col(F.col(text_col)).alias("simhash60"),
+    rolling = docs.select(
+        F.col(id_col), X.fingerprint_col(F.col(text_col)).alias("rolling_fp")
     )
+    simhash = X.simhash60_df(docs, id_col=id_col, text_col=text_col)
+    return rolling.join(simhash, id_col)
 
 
 def fingerprints_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:

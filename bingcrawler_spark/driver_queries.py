@@ -820,13 +820,17 @@ def r12_allpairs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest-5 per title.  fps persisted so the crossJoin reads materialized
     fingerprints instead of re-deriving them per pair."""
     d = _t(spark, sf_dir, "documents")
-    fps = d.select(
-        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
-        X.simhash60_col(F.col("text")).alias("simhash"),
-    ).persist()
+    fps = (
+        X.simhash60_df(d)
+        .join(d.select("doc_id"), "doc_id")
+        .select(
+            F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
+            F.col("simhash60").alias("simhash"),
+        )
+        .persist()
+    )
     fps.count()  # materialize before the crossJoin fans out
-    out = A.allpairs_simhash_report(fps, nearest=5)
-    return out
+    return A.allpairs_simhash_report(fps, nearest=5)
 
 
 @register(

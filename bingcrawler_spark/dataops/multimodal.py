@@ -120,3 +120,56 @@ def media_metadata(media: DataFrame) -> DataFrame:
             F.conv(F.substring(F.hex("media"), 1, 2), 16, 10).cast("int"), F.lit(0)
         ).alias("first_byte"),
     )
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video payloads: one output row per sampled frame.
+
+    The real decoder (av/ffmpeg) is absent, so the per-frame payload is a
+    deterministic byte slice of the source blob — the Spark-side plumbing
+    (duration-driven fan-out ratio, mapInPandas batch shape, one-to-many
+    output) is exactly what the real decoder path uses."""
+    pruned = media.where(F.col("kind") == "video").select(
+        "media_id", "media", "duration_ms"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": []}
+            for mid, blob, dur in zip(
+                pdf["media_id"], pdf["media"], pdf["duration_ms"]
+            ):
+                blob = bytes(blob or b"")
+                n_frames = max(1, int(dur or 0) // every_ms)
+                for i in range(n_frames):
+                    lo = (i * 16) % max(len(blob), 1)
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(blob[lo : lo + 16] or b"\x00")
+            yield pd.DataFrame(out)
+
+    return pruned.mapInPandas(run, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize pass — decode step honestly stubbed (no codec libs in
+    this container): raises through decode_media when invoked on a real
+    image; the plumbing (schema, pruning, batch shape) is in place."""
+    pruned = media.where(F.col("kind") == "image").select("media_id", "media")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["media"]:
+                decode_media(bytes(blob or b""), "image")  # raises
+            yield pdf
+
+    return pruned.mapInPandas(run, pruned.schema)

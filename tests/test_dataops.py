@@ -194,3 +194,21 @@ def test_multimodal_plumbing(docs):
 def test_decode_media_is_honestly_stubbed():
     with pytest.raises(NotImplementedError):
         MM.decode_media(b"\x89PNG", "image")
+
+
+def test_frame_sampling_fanout(docs):
+    media = MM.pack_media(docs.limit(60))
+    frames = MM.sample_frames(media, every_ms=10000).collect()
+    vids = {r.media_id: r.duration_ms for r in media.where("kind = 'video'").collect()}
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.media_id, []).append(f.frame_idx)
+    assert set(by_id) == set(vids)
+    for mid, idxs in by_id.items():
+        assert sorted(idxs) == list(range(max(1, vids[mid] // 10000)))
+
+
+def test_resize_images_raises_via_stub(spark, docs):
+    media = MM.pack_media(docs.limit(9))
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        MM.resize_images(media).collect()

@@ -1257,3 +1257,128 @@ def p6_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.when(got == "", F.lit("utf-8")).otherwise(got).alias("charset"),
     )
+
+
+# =====================================================================
+# Conventional OLAP breadth (beyond the reference's own inventory):
+# scan-heavy aggregation, multi-join star rollup, per-group top-N —
+# the shapes a general analytics user of the engine runs daily.
+# Money/quantities are summed as exact integer cents (row-level
+# round(x*100) is bit-identical across engines; float SUM order is not).
+# =====================================================================
+
+
+@register(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*)::BIGINT AS n_rows,
+           sum(round(l_quantity * 100)::BIGINT)::BIGINT AS sum_qty_e2,
+           sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS sum_base_e2,
+           sum(round(l_extendedprice * (1 - l_discount) * 100)::BIGINT)::BIGINT
+             AS sum_disc_e2,
+           sum(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)::BIGINT)::BIGINT
+             AS sum_charge_e2
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: filtered scan → grouped partial
+    aggregation (map-side combine; filter + 7-column pruning reach the
+    parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(cents(F.col("l_quantity"))).cast("long").alias("sum_qty_e2"),
+            F.sum(cents(F.col("l_extendedprice"))).cast("long").alias("sum_base_e2"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .cast("long")
+            .alias("sum_disc_e2"),
+            F.sum(
+                cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            )
+            .cast("long")
+            .alias("sum_charge_e2"),
+        )
+    )
+
+
+@register(
+    "join_supply_chain",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(DISTINCT o.o_orderkey)::BIGINT AS n_orders,
+           sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)::BIGINT
+             AS revenue_e2
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_supply_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema rollup: fact ⋈ fact ⋈ three broadcast dims → grouped
+    aggregate.  customer/nation/region are under the broadcast threshold,
+    so Catalyst plans broadcast hash joins — only the lineitem⋈orders join
+    shuffles."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, n, r = (
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "region"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("revenue_e2"),
+        )
+    )
+
+
+@register(
+    "window_top_orders_per_cust",
+    """
+    SELECT o_custkey, o_orderkey, rank::INT AS rank FROM (
+      SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 3
+    """,
+)
+def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-N: window rank with deterministic tie-break — compiles
+    to partial WindowGroupLimit before the exchange (no full sort of the
+    fact table)."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )

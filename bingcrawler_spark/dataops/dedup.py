@@ -70,13 +70,24 @@ def minhash_lsh_pairs(
     value) so Catalyst plans a shuffle hash join; one-doc buckets produce no
     candidates by construction."""
     rows = k // bands
-    base = docs.select(
-        F.col(id_col).alias("doc"),
-        X.shingles_col(F.col(text_col)).alias("sh"),
-    ).withColumn("sig", X.minhash_sig_col(F.col("sh"), k))
+    # two projection steps: shingle md5s land in their own column so the k
+    # affine hash functions reuse them (one md5 per shingle, not k);
+    # persisted because both band-join sides and the verify join read it —
+    # without the persist each consumer re-derives every shingle + md5
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            X.shingles_col(F.col(text_col)).alias("sh"),
+        )
+        .withColumn("hsh", F.transform("sh", X.h32_col))
+        .withColumn("sig", X.minhash_sig_from_hashes(F.col("hsh"), k))
+        .drop("hsh")
+        .persist()
+    )
+    # only (doc, band key) rides the band-join shuffle — the multi-KB
+    # shingle arrays never leave their partition until the verify join
     bands_df = base.select(
         "doc",
-        "sh",
         F.posexplode(
             F.array(
                 *[
@@ -94,19 +105,19 @@ def minhash_lsh_pairs(
             & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.col("a.sh").alias("sh_a"),
-            F.col("b.sh").alias("sh_b"),
-        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    verified = cand.select(
-        "doc_a",
-        "doc_b",
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
-        F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+    sh = base.select("doc", "sh")
+    verified = (
+        cand.join(sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
+        )
     )
     return verified.where(
         F.col("n_common") * 100 >= F.col("n_union") * min_jaccard_pct

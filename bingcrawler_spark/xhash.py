@@ -102,19 +102,43 @@ def shingles_sql(expr: str, n: int = 3) -> str:
 # ------------------------------------------------------------------ minhash
 
 
-def minhash_sig_col(shingles: Column, k: int = 16) -> Column:
-    """array<long> length-k signature: min over shingles of (a*h32+b) mod P.
-    Empty shingle set → all-P sentinel (never collides with a real min)."""
-    def _hasher(a: int, b: int):
-        return lambda x: (F.lit(a) * h32_col(x) + F.lit(b)) % F.lit(MERSENNE_P)
+def minhash_sig_from_hashes(hashes: Column, k: int = 16) -> Column:
+    """Signature from PRE-HASHED shingles (array<long> of h32 values) —
+    materialize the hashes as their own projected column first so each md5
+    is computed once per shingle, not once per hash function (higher-order
+    functions are interpreted, so Catalyst's subexpression elimination does
+    not deduplicate an inlined hash subtree)."""
+
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
 
     cols = []
     for a, b in minhash_params(k):
-        hashed = F.transform(shingles, _hasher(a, b))
         cols.append(
-            F.when(F.size(shingles) > 0, F.array_min(hashed)).otherwise(
-                F.lit(MERSENNE_P)
-            )
+            F.when(
+                F.size(hashes) > 0, F.array_min(F.transform(hashes, _affine(a, b)))
+            ).otherwise(F.lit(MERSENNE_P))
+        )
+    return F.array(*cols)
+
+
+def minhash_sig_col(shingles: Column, k: int = 16) -> Column:
+    """array<long> length-k signature: min over shingles of (a*h32+b) mod P.
+    Empty shingle set → all-P sentinel (never collides with a real min).
+
+    The md5 per shingle is computed ONCE (the dominant cost), then each of
+    the k universal-hash functions is a cheap affine map over the int."""
+    base = F.transform(shingles, h32_col)
+
+    def _affine(a: int, b: int):
+        return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MERSENNE_P)
+
+    cols = []
+    for a, b in minhash_params(k):
+        cols.append(
+            F.when(
+                F.size(shingles) > 0, F.array_min(F.transform(base, _affine(a, b)))
+            ).otherwise(F.lit(MERSENNE_P))
         )
     return F.array(*cols)
 

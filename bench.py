@@ -55,7 +55,7 @@ HEADLINE = [
     "r6_five_year_buckets",
     "r9_author_rollup",
     "r10_keyword_cooccurrence",
-    "r12_allpairs_nn",
+    "r12_banded_nn",
     "dd_exact",
     "dd_minhash_lsh",
     "dd_simhash_neardup",
@@ -303,6 +303,9 @@ def main() -> None:
         t0 = time.time()
         n = fn(spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 2)
+        # release caches a query persisted for its own multi-consumer plans
+        # (minhash signature base, r12 fingerprints) between queries
+        spark.catalog.clearCache()
     crawl = run_crawl(spark)
     spark.stop()
 

@@ -247,11 +247,66 @@ def journal_rollup(profiles: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------ R12
 
 
+def banded_nn_report(
+    fps: DataFrame, nearest: int = 5, n_bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """R12 at scale (the registered form): nearest-`nearest` titles per
+    title by hamming distance, with the candidate set generated by
+    pigeonhole LSH banding (any pair within hamming < n_bands shares at
+    least one exact 15-bit band) instead of the reference's all-pairs loop
+    (BingDataAnalysisUtils.java:24-39).  The shuffle is an equi-join on
+    (band_idx, band_val) — O(docs x bands) rows, never O(docs²); the
+    window ranks only each title's banded candidates.  Candidates are kept
+    directional (a→b and b→a) because nearest-N is per title.
+
+    allpairs_simhash_report below keeps the exact-parity all-pairs form
+    for oracle-scale verification of this approximation."""
+    width = bits // n_bands
+    banded = fps.select(
+        F.col("title").alias("t"),
+        F.col("simhash").alias("h"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("simhash", b * width) % F.lit(1 << width)).cast(
+                        "long"
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.t") != F.col("b.t")),
+        )
+        .select(
+            F.col("a.t").alias("t_a"),
+            F.col("b.t").alias("t_b"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+            .cast("int")
+            .alias("distance"),
+        )
+        .dropDuplicates(["t_a", "t_b"])
+    )
+    w = W.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
+    return (
+        cand.withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nn_rank") <= nearest)
+        .select("t_a", "t_b", "distance", "nn_rank")
+    )
+
+
 def allpairs_simhash_report(fps: DataFrame, nearest: int = 10) -> DataFrame:
     """R12 (BingDataAnalysisUtils.java:24-39): nearest-`nearest` titles per
     title by hamming distance over 64-bit fingerprints.  crossJoin matches
-    the reference's all-pairs loop; at corpus scale use
-    dataops.dedup.simhash_neardup_pairs (banded LSH) instead."""
+    the reference's all-pairs loop — kept as the oracle-scale ground truth
+    for banded_nn_report (the registered scale path); not in the driver
+    catalog."""
     a = fps.select(F.col("title").alias("t_a"), F.col("simhash").alias("h_a"))
     b = fps.select(F.col("title").alias("t_b"), F.col("simhash").alias("h_b"))
     pairs = a.crossJoin(b).where(F.col("t_a") != F.col("t_b"))

@@ -32,10 +32,11 @@ wave (test: kill-and-resume in tests/test_crawler.py).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -77,6 +78,37 @@ METRICS_SCHEMA = T.StructType(
 )
 
 
+def _harvest(obs: Observation, name: str, fallback) -> int:
+    """Observation.get with an AQE guard.  When an observed subtree turns
+    out empty at runtime, AQE's empty-relation propagation replaces it —
+    CollectMetrics node included — with an empty LocalTableScan, the metric
+    never fires, and Spark completes the observation with a schema-less
+    empty row that Observation.get cannot deserialize.  Fall back to the
+    direct count then: it only happens on waves whose observed set IS
+    empty, so the recount job is O(0)."""
+    try:
+        return int(obs.get[name] or 0)
+    except Exception:
+        return int(fallback())
+
+
+def _max_file_rows(snap_dir: str) -> int:
+    """Max per-file row count of a committed snapshot, read from parquet
+    footers (each write partition = one file) — the per-partition lineage
+    metric without a Spark job, the way Iceberg manifests carry it."""
+    try:
+        import pyarrow.parquet as pq
+
+        rows = [
+            pq.ParquetFile(os.path.join(snap_dir, f)).metadata.num_rows
+            for f in os.listdir(snap_dir)
+            if f.endswith(".parquet")
+        ]
+        return max(rows) if rows else 0
+    except Exception:
+        return -1
+
+
 @dataclass
 class CrawlConfig:
     wave_size: int = 1000
@@ -89,7 +121,10 @@ class CrawlConfig:
     child_weight_expr: str | None = None  # SQL expr over `curl`, default 100
     compute_simhash: bool = True
     n_partitions: int = 32  # state-table partitioning (host-hash at scale)
-    extra_metrics: bool = True  # n_failed/n_candidates counts (2 extra jobs)
+    # retained for API compat: wave metrics now ride observe() on the
+    # existing writes + parquet footers, so they cost zero extra jobs and
+    # are always on
+    extra_metrics: bool = True
 
 
 class CrawlEngine:
@@ -112,6 +147,12 @@ class CrawlEngine:
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, int]]) -> None:
+        # F9 clearDb (UrlsDbManager.java:300-309): bootstrap means a NEW
+        # crawl — truncate every state table first.  seen/ref_edges are
+        # append-only, so without this a re-bootstrap over an existing
+        # warehouse would dedup against the PREVIOUS crawl's seen rows.
+        for t in ("frontier", "seen", "ref_edges", "wave_metrics"):
+            self.store.truncate(t)
         f = FR.seeds_to_frontier(self.spark, seeds).cache()
         n_seeds = f.count()
         self.store.commit("frontier", f, wave=0)
@@ -174,6 +215,15 @@ class CrawlEngine:
     def run_wave(self) -> dict:
         t0 = time.time()
         wave = self.wave + 1
+        # mid-wave-kill recovery: a wave commits seen delta → frontier →
+        # ref_edges → metrics row, and the FRONTIER commit is the wave's
+        # commit point (self.wave derives from it).  A kill between commits
+        # leaves deltas ahead of the last frontier commit; appends are not
+        # idempotent, so roll those partial deltas back before re-running
+        # the wave (tests/test_crawler.py mid-wave kill cases).
+        self.store.rollback_to_wave("seen", wave - 1)
+        self.store.rollback_to_wave("ref_edges", wave - 1)
+        self.store.rollback_rows_to_wave("wave_metrics", wave - 1)
         sizes = self._load_sizes()
         frontier = self.store.read("frontier")
         seen = self.store.read("seen")  # union of append deltas
@@ -220,24 +270,30 @@ class CrawlEngine:
 
         # F4: settle — append ONLY the wave delta (commit 1).  Delta writes
         # are coalesced: a wave-sized table written as shuffle-partition-many
-        # tiny files pays file-open cost for nothing.
+        # tiny files pays file-open cost for nothing.  n_failed rides the
+        # write as an observe() metric — counts no longer cost extra jobs.
         n_delta = max(1, self.cfg.n_partitions // 4)
         settled = FR.settle(parsed, None, wave)
-        self.store.append("seen", settled.coalesce(n_delta), wave)
-        n_failed = (
-            parsed.where(F.col("status") < 0).count()
-            if self.cfg.extra_metrics
-            else -1
+        obs_settle = Observation(f"settle_w{wave}")
+        self.store.append(
+            "seen",
+            settled.observe(
+                obs_settle,
+                F.sum((F.col("status") < 0).cast("long")).alias("n_failed"),
+            ).coalesce(n_delta),
+            wave,
         )
         # existence checks below must see this wave's settled rows too
         seen_now = seen.unionByName(settled)
 
-        # F2/F3: candidates → dedup-insert
+        # F2/F3: candidates → dedup-insert (n_candidates observed, not
+        # re-counted; the observation fires when the cache materializes
+        # under the frontier commit below)
         cand = FR.make_candidates(parsed, child_weight=self._child_weight())
         if self.robots is not None:
             cand = FR.robots_filter(cand, self.robots)
-        cand = cand.cache()
-        n_cand = cand.count() if self.cfg.extra_metrics else -1
+        obs_cand = Observation(f"cand_w{wave}")
+        cand = cand.observe(obs_cand, F.count(F.lit(1)).alias("n")).cache()
 
         frontier_rest = frontier.join(top.select("url"), "url", "left_anti")
 
@@ -257,8 +313,8 @@ class CrawlEngine:
             max_depth=self.cfg.max_depth,
             bloom=bloom,
         )
-        new_rows = new_rows.cache()
-        n_new = new_rows.count()
+        obs_new = Observation(f"new_w{wave}")
+        new_rows = new_rows.observe(obs_new, F.count(F.lit(1)).alias("n"))
         # partition by (host, salt): host-locality for the politeness rank,
         # salt so a hot host (30%+ of a web crawl) cannot pin one partition
         frontier_final = frontier_rest.unionByName(new_rows).repartition(
@@ -268,24 +324,26 @@ class CrawlEngine:
         )
 
         # commits (atomic snapshot per table, per wave)
-        self.store.commit("frontier", frontier_final, wave)
+        frontier_snap = self.store.commit("frontier", frontier_final, wave)
         self.store.append("ref_edges", edges.coalesce(n_delta), wave)
+
+        # harvest the observed counts (all fired by the writes above —
+        # the whole wave normally runs top.count + 3 write jobs, nothing
+        # more; the fallbacks only trigger on empty-set waves)
+        n_failed = _harvest(
+            obs_settle, "n_failed", lambda: parsed.where(F.col("status") < 0).count()
+        )
+        n_cand = _harvest(obs_cand, "n", cand.count)
+        n_new = _harvest(obs_new, "n", new_rows.count)
 
         # lineage sizes: pure arithmetic — never an O(state) recount
         sizes["seen"] += int(n_popped)
         sizes["frontier"] = sizes["frontier"] - int(n_popped) + int(n_new)
         # per-partition lineage (north rule): how balanced is the frontier
-        # across its partitions after the salted repartition?
-        max_part = -1
-        if self.cfg.extra_metrics:
-            hist = (
-                self.store.read("frontier")
-                .groupBy(F.spark_partition_id().alias("pid"))
-                .count()
-                .agg(F.max("count"))
-                .first()[0]
-            )
-            max_part = int(hist or 0)
+        # across its partitions after the salted repartition?  Read from
+        # the committed snapshot's parquet FOOTERS (one row-count per file
+        # = per partition) — Iceberg-manifest-style metadata, zero jobs.
+        max_part = _max_file_rows(frontier_snap)
         row = {
             "wave": wave,
             "n_popped": int(n_popped),
@@ -302,7 +360,6 @@ class CrawlEngine:
         top.unpersist()
         parsed.unpersist()
         cand.unpersist()
-        new_rows.unpersist()
         row["done"] = False
         return row
 

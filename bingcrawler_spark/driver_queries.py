@@ -467,27 +467,24 @@ def f11_retry_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f12_seed_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F12 seed injection (BingParser.java:81-107, AbstractParser.java:
-    167-173): canonicalize (P1), first occurrence wins, depth 0."""
+    167-173): canonicalize (P1), first occurrence wins, depth 0.  The seed
+    list stays a DataFrame end to end (seeds_df_to_frontier) — a derived
+    seed set of 10^8 rows never collects to the driver."""
     c = _t(spark, sf_dir, "customer")
     k = F.col("c_custkey")
     kk = k % 800
-    raws = (
-        c.select(
-            F.concat(
-                F.lit("http://host"),
-                (kk % 40).cast("string"),
-                F.lit(".example/c/"),
-                kk.cast("string"),
-                F.when(k % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
-            ).alias("raw_url"),
-            (F.lit(100) + k % 11).cast("int").alias("weight"),
-            k.alias("pos"),
-        )
-        .orderBy("pos")
-        .collect()
+    seeds = c.select(
+        F.concat(
+            F.lit("http://host"),
+            (kk % 40).cast("string"),
+            F.lit(".example/c/"),
+            kk.cast("string"),
+            F.when(k % 4 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("raw_url"),
+        (F.lit(100) + k % 11).cast("int").alias("weight"),
+        k.alias("seed_pos"),
     )
-    seeds = [(r.raw_url, r.weight) for r in raws]
-    out = FR.seeds_to_frontier(spark, seeds)
+    out = FR.seeds_df_to_frontier(seeds)
     return out.select("url", "weight", "depth")
 
 
@@ -802,35 +799,43 @@ def r11_journal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "r12_allpairs_nn",
+    "r12_banded_nn",
     """
     WITH fp AS MATERIALIZED (
       SELECT 'doc-' || doc_id::VARCHAR AS title, __SH__ AS h FROM documents),
-    pairs AS (SELECT a.title AS t_a, b.title AS t_b,
-                     bit_count(xor(a.h, b.h))::INT AS distance
-              FROM fp a, fp b WHERE a.title != b.title)
+    banded AS (
+      SELECT title, h, bi.band_idx,
+             (h >> (bi.band_idx * 15)) & 32767 AS band_val
+      FROM fp, (SELECT unnest(generate_series(0, 3)) AS band_idx) bi),
+    cand AS (
+      SELECT DISTINCT a.title AS t_a, b.title AS t_b,
+             bit_count(xor(a.h, b.h))::INT AS distance
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.title != b.title)
     SELECT t_a, t_b, distance, nn_rank::INT AS nn_rank FROM (
       SELECT *, row_number() OVER (PARTITION BY t_a
-                 ORDER BY distance ASC, t_b ASC) AS nn_rank FROM pairs
+                 ORDER BY distance ASC, t_b ASC) AS nn_rank FROM cand
     ) WHERE nn_rank <= 5
     """.replace("__SH__", X.simhash60_sql("text")),
 )
-def r12_allpairs_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R12 all-pairs SimHash distances (BingDataAnalysisUtils.java:24-39),
-    nearest-5 per title.  fps persisted so the crossJoin reads materialized
-    fingerprints instead of re-deriving them per pair."""
+def r12_banded_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R12 nearest-5 per title (BingDataAnalysisUtils.java:24-39), banded:
+    candidates come from a pigeonhole LSH equi-join, never a cartesian
+    product — the oracle replicates the banding so the approximation itself
+    is what's verified.  analytics.allpairs_simhash_report keeps the exact
+    all-pairs parity form (tests only)."""
     d = _t(spark, sf_dir, "documents")
     fps = (
         X.simhash60_df(d)
-        .join(d.select("doc_id"), "doc_id")
         .select(
             F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
             F.col("simhash60").alias("simhash"),
         )
         .persist()
     )
-    fps.count()  # materialize before the crossJoin fans out
-    return A.allpairs_simhash_report(fps, nearest=5)
+    fps.count()  # materialize once; both band-join sides read the cache
+    return A.banded_nn_report(fps, nearest=5, n_bands=4)
 
 
 @register(

@@ -71,24 +71,18 @@ def empty_seen(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], SEEN_SCHEMA)
 
 
-def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> DataFrame:
-    """Seed injection (F12, BingParser.java:81-107): canon + default fields."""
-    seed_schema = T.StructType(
-        [
-            T.StructField("raw_url", T.StringType(), False),
-            T.StructField("weight", T.IntegerType(), False),
-        ]
-    )
-    df = spark.createDataFrame(
-        [(u, int(w), i) for i, (u, w) in enumerate(seeds)],
-        seed_schema.add("seed_pos", T.IntegerType(), False),
-    )
-    # first occurrence wins (putUrl: later duplicates are KEYEXIST no-ops)
+def seeds_df_to_frontier(seeds: DataFrame) -> DataFrame:
+    """Seed injection (F12, BingParser.java:81-107) as a pure plan:
+    seeds(raw_url, weight, seed_pos) → canon (P1) + first-occurrence-wins
+    (putUrl: later duplicates are KEYEXIST no-ops, AbstractParser.java:
+    167-173) + default frontier fields.  DataFrame in, DataFrame out — a
+    derived seed list of any size never touches the driver (the list
+    overload below is for genuinely small literal seed sets)."""
     w_first = W.partitionBy("url").orderBy("seed_pos")
     return (
-        df.select(
+        seeds.select(
             canon_url_col(F.col("raw_url")).alias("url"),
-            F.col("weight").cast("int"),
+            F.col("weight").cast("int").alias("weight"),
             "seed_pos",
         )
         .withColumn("_rn", F.row_number().over(w_first))
@@ -99,6 +93,21 @@ def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> Data
         .withColumn("referrers", F.array().cast("array<string>"))
         .select([f.name for f in FRONTIER_SCHEMA.fields])
     )
+
+
+def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> DataFrame:
+    """List overload of seeds_df_to_frontier for literal seed sets."""
+    seed_schema = T.StructType(
+        [
+            T.StructField("raw_url", T.StringType(), False),
+            T.StructField("weight", T.IntegerType(), False),
+            T.StructField("seed_pos", T.IntegerType(), False),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(u, int(w), i) for i, (u, w) in enumerate(seeds)], seed_schema
+    )
+    return seeds_df_to_frontier(df)
 
 
 # --------------------------------------------------------------------- F1

@@ -79,6 +79,35 @@ class SnapshotStore:
         """Fast-append snapshot: df holds ONLY this wave's delta rows."""
         return self._commit_snap(table, df, wave, "append", meta)
 
+    def truncate(self, table: str) -> None:
+        """F9 clearDb (UrlsDb.java truncate semantics): drop the table's
+        snapshots AND manifest/row-log so a fresh bootstrap starts from
+        nothing — append tables would otherwise keep prior rows live."""
+        shutil.rmtree(self._tdir(table), ignore_errors=True)
+
+    def rollback_to_wave(self, table: str, wave: int) -> None:
+        """Drop any snapshot committed for a wave AFTER `wave` — the
+        mid-wave-kill recovery primitive: a wave's state spans several
+        tables committed in sequence, and the frontier commit is the wave's
+        commit point; on resume, deltas a dead run appended past the last
+        frontier commit are rolled back so the re-run's appends are not
+        duplicates.  No-op when nothing is ahead."""
+        man = self.manifest(table)
+        if man is None:
+            return
+        keep = [s for s in man["snapshots"] if s["wave"] <= wave]
+        if len(keep) == len(man["snapshots"]):
+            return
+        drop = [s for s in man["snapshots"] if s["wave"] > wave]
+        man["snapshots"] = keep
+        man["current"] = keep[-1]["id"] if keep else -1
+        tmp = self._manifest_path(table) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(man, f)
+        os.replace(tmp, self._manifest_path(table))
+        for s in drop:
+            shutil.rmtree(self._snap_dir(table, s["id"]), ignore_errors=True)
+
     def _live_ids(self, man: dict, upto: int | None = None) -> list[int]:
         """Snapshot ids composing the state at snapshot `upto` (default
         current): the latest overwrite at-or-before it plus every append
@@ -149,6 +178,19 @@ class SnapshotStore:
                 existing = f.read()
         with open(tmp, "w") as f:
             f.write(existing + json.dumps(row) + "\n")
+        os.replace(tmp, path)
+
+    def rollback_rows_to_wave(self, table: str, wave: int) -> None:
+        """Row-log analogue of rollback_to_wave: drop rows logged for waves
+        after `wave` (mid-wave-kill recovery for the metrics lineage)."""
+        rows = [r for r in self.read_rows(table) if r.get("wave", 0) <= wave]
+        path = os.path.join(self._tdir(table), "rows.jsonl")
+        if not os.path.exists(path):
+            return
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
         os.replace(tmp, path)
 
     def read_rows(self, table: str) -> list[dict]:

@@ -100,14 +100,23 @@ def _sessionize_fn(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     """Per-user gap sessionizer.  State = (last event us, session count,
-    event count); each micro-batch folds its (sorted) events in.  Emits the
-    running totals per batch — the final batch's row equals the batch
-    query's answer."""
+    event count); each micro-batch concatenates ALL its Arrow chunks for the
+    group and sorts ONCE before folding, so chunk boundaries within a
+    micro-batch can never split a time-ordered run.  Emits the running
+    totals per batch — the final batch's row equals the batch query's
+    answer.
+
+    Assumption (update-mode sessionizer): events for a user arrive in
+    non-decreasing event-time order ACROSS micro-batches.  Within a batch
+    order is free (sorted here); across batches an out-of-order event would
+    fold against a stale last_us — a file source replaying history in file
+    order satisfies the assumption, a shuffled replay would not."""
     last_us, n_sessions, n_events = (
         state.get if state.exists else (None, 0, 0)
     )
-    for pdf in pdfs:
-        us = (pdf["ts"].astype("int64") // 1000).sort_values()  # ns → µs
+    chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
+    if chunks:
+        us = (pd.concat(chunks).astype("int64") // 1000).sort_values()  # ns → µs
         for v in us:
             v = int(v)
             if last_us is None or v - last_us > GAP_US:

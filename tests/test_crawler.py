@@ -40,6 +40,69 @@ def test_kill_and_resume_identical(spark):
     assert key(a.frontier()) == key(b2.frontier())
 
 
+def test_mid_wave_kill_and_resume_identical(spark):
+    """A wave commits seen → frontier → ref_edges → metrics; a kill BETWEEN
+    those commits leaves partial deltas ahead of the last frontier commit
+    (the wave's commit point).  Resume must roll them back, not double-count
+    them — appends are not idempotent."""
+    from pyspark.sql import functions as F
+
+    wh_a = tempfile.mkdtemp(prefix="wh_mwa_")
+    a = _engine(spark, wh_a)
+    a.bootstrap(seed_urls(N, H))
+    a.run(3)
+
+    wh_b = tempfile.mkdtemp(prefix="wh_mwb_")
+    b1 = _engine(spark, wh_b)
+    b1.bootstrap(seed_urls(N, H))
+    b1.run(2)
+    # simulate dying mid-wave-3: the seen delta and ref_edges delta landed,
+    # the frontier commit (and metrics row) did not
+    partial = b1.store.read("seen").where(F.col("settle_wave") == 2).withColumn(
+        "settle_wave", F.lit(3).cast("int")
+    )
+    b1.store.append("seen", partial, wave=3)
+    b1.store.append(
+        "ref_edges",
+        b1.store.read("ref_edges").limit(5).withColumn("wave", F.lit(3).cast("int")),
+        wave=3,
+    )
+    del b1  # "crash"
+
+    b2 = _engine(spark, wh_b)
+    assert b2.wave == 2  # frontier (the commit point) is still at wave 2
+    b2.run(1)
+
+    key = lambda df: {  # noqa: E731
+        (r["url"], r["weight"], r["depth"], tuple(r["referrers"]))
+        for r in df.collect()
+    }
+    assert key(a.seen()) == key(b2.seen())
+    assert key(a.frontier()) == key(b2.frontier())
+    # no duplicated pop-log rows from the dead run's partial delta
+    log = b2.pop_log().groupBy("url").count()
+    assert log.where(F.col("count") > 1).count() == 0
+    # metrics lineage is contiguous 1..3 with no stale wave-3 leftovers
+    assert [r["wave"] for r in b2.metrics().orderBy("wave").collect()] == [1, 2, 3]
+
+
+def test_bootstrap_resets_existing_state(spark):
+    """F9 clearDb contract: bootstrap on a warehouse that already holds a
+    crawl must not dedup against the stale seen-set (append tables would
+    otherwise keep prior rows live)."""
+    wh = tempfile.mkdtemp(prefix="wh_f9_")
+    e1 = _engine(spark, wh)
+    e1.bootstrap(seed_urls(N, H))
+    e1.run(2)
+    n_seen_1 = e1.seen().count()
+    assert n_seen_1 > 0
+    e2 = _engine(spark, wh)
+    e2.bootstrap(seed_urls(N, H))
+    assert e2.seen().count() == 0  # truncated, not unioned with the old crawl
+    e2.run(2)
+    assert e2.seen().count() == n_seen_1  # identical fresh crawl
+
+
 def test_metrics_lineage(spark):
     wh = tempfile.mkdtemp(prefix="wh_m_")
     eng = _engine(spark, wh)

@@ -69,6 +69,7 @@ def main() -> int:
             df = fn(spark, sf_dir)
             cols = df.columns
             rows = [tuple(r) for r in df.collect()]
+            spark.catalog.clearCache()  # release per-query persists
         except Exception as ex:
             print(f"FAIL {name:28s} spark error: {str(ex).splitlines()[0][:160]}")
             failures.append(name)

@@ -23,9 +23,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
+import pandas as pd
+
 from bingcrawler_spark import analytics as A
 from bingcrawler_spark import frontier as FR
 from bingcrawler_spark import xhash as X
+from bingcrawler_spark.functions import bingparse as BP
 from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
 from bingcrawler_spark.dataops import similarity as SIM
@@ -90,22 +93,95 @@ CUST_FRONTIER_SQL = """
 """
 
 # ---- profiles corpus from documents (feeds the R-ops analytics layer)
+#
+# The corpus now flows through the ENGINE'S OWN P7/P8 path: derive the
+# profile fields from documents → render a Bing-shaped profile page
+# (synth.bing_profile_page_html) → parse it back with the real DOM parser
+# (functions.bingparse, BingAnalysis.java:58-164 semantics) → project the
+# flat analytics schema through the typed panel accessors
+# (Profile.java:29-113).  The DuckDB oracle computes the same flat rows
+# directly from the document columns, so every R-query's green hash also
+# certifies the generator∘parser round-trip.
 
 
-def _profiles_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _doc_profile_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     did = F.col("doc_id")
     return d.select(
+        did.alias("profile_id"),
         F.concat(F.lit("doc-"), did.cast("string")).alias("title"),
         F.slice(toks, 1, 3).alias("authors"),
-        F.array_distinct(toks).alias("keywords"),
+        # sorted: DuckDB's list_distinct does not preserve first-occurrence
+        # order, so a deterministic order is part of the derivation contract
+        F.array_sort(F.array_distinct(toks)).alias("keywords"),
         (F.lit(1990) + did % 30).cast("int").alias("year"),
         F.col("source").alias("journal"),
         (F.col("n_chars") % 250).cast("int").alias("cited_by"),
+        F.concat_ws(" ", F.slice(toks, 1, 10)).alias("introduction"),
+        F.slice(toks, 15, (did % 3).cast("int")).alias("references"),
         F.slice(toks, 5, (did % 4).cast("int")).alias("cited_papers"),
         F.slice(toks, 9, (did % 3).cast("int")).alias("download_urls"),
         F.slice(toks, 12, (did % 2).cast("int")).alias("source_urls"),
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _render_profile_html_udf(fields: pd.DataFrame) -> pd.Series:
+    """Deterministic profile-page HTML from the derived fields (the DOM
+    shape the reference's Selenium fetch would have returned)."""
+    from bingcrawler_spark.synth import bing_profile_page_html
+
+    q = "/academic/search?q="
+    out = []
+    for row in fields.itertuples(index=False):
+        out.append(
+            bing_profile_page_html(
+                dict(
+                    title=row.title,
+                    authors=[(a, q + a) for a in row.authors],
+                    year=int(row.year),
+                    journal=row.journal,
+                    cited_by=int(row.cited_by),
+                    introduction=row.introduction,
+                    keywords=[(k, q + k) for k in row.keywords],
+                    references=[
+                        dict(title=t, url=q + t, authors=[]) for t in row.references
+                    ],
+                    cited_papers=[
+                        dict(title=t, url=q + t, authors=[]) for t in row.cited_papers
+                    ],
+                    download_urls=list(row.download_urls),
+                    source_urls=list(row.source_urls),
+                )
+            )
+        )
+    return pd.Series(out)
+
+
+def _parsed_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → render → P8 parse → nested Profile structs."""
+    fields = _doc_profile_fields(spark, sf_dir)
+    return fields.select(
+        F.col("profile_id"),
+        BP.parse_profile_udf(
+            _render_profile_html_udf(F.struct(*[c for c in fields.columns if c != "profile_id"]))
+        ).alias("p"),
+    )
+
+
+def _profiles_from_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _parsed_profiles(spark, sf_dir).select("p.*")
+    return p.select(
+        F.col("title"),
+        BP.panel_items_col(F.col("panels"), "Authors").alias("authors"),
+        BP.panel_items_col(F.col("panels"), "Keywords").alias("keywords"),
+        BP.first_panel_item_col(F.col("panels"), "Year").cast("int").alias("year"),
+        BP.first_panel_item_col(F.col("panels"), "Journal").alias("journal"),
+        BP.first_panel_item_col(F.col("panels"), "Cited by").cast("int").alias("cited_by"),
+        F.transform("cited_papers", lambda x: x["title"]).alias("cited_papers"),
+        F.col("download_urls"),
+        F.col("source_urls"),
     )
 
 
@@ -486,6 +562,163 @@ def f12_seed_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = FR.seeds_df_to_frontier(seeds)
     return out.select("url", "weight", "depth")
+
+
+# =====================================================================
+# §2.3 Parse / extract operators — P7/P8 DOM parsers
+# =====================================================================
+
+_Q = "/academic/search?q="
+
+
+@F.pandas_udf(T.StringType())
+def _render_search_html_udf(items: pd.Series) -> pd.Series:
+    """Deterministic search-page HTML: one <li class="aca_algo"> per item
+    inside <ol id="b_results"> (the DOM analyzeBingAcademicSearch walks)."""
+    from bingcrawler_spark.synth import bing_search_page_html
+
+    out = []
+    for its in items:
+        out.append(
+            bing_search_page_html(
+                [
+                    dict(
+                        profile_id=int(it["profile_id"]),
+                        title=it["title"],
+                        authors=[(a, _Q + a) for a in it["authors"]],
+                        year=int(it["year"]),
+                        journal=it["journal"],
+                        cited_by=int(it["cited_by"]),
+                        introduction=it["introduction"],
+                        keywords=[(k, _Q + k) for k in it["keywords"]],
+                    )
+                    for it in its
+                ]
+            )
+        )
+    return pd.Series(out)
+
+
+_P8_FLAT_SQL = f"""
+  SELECT doc_id::BIGINT AS profile_id,
+         'doc-' || doc_id::VARCHAR AS title,
+         array_to_string(__T[1:3], '|') AS authors,
+         array_to_string(list_transform(__T[1:3], a -> '{_Q}' || a), '|')
+           AS author_urls,
+         (1990 + doc_id % 30)::INT AS year,
+         source AS journal,
+         (n_chars % 250)::INT AS cited_by,
+         array_to_string(__T[1:10], ' ') AS introduction,
+         array_to_string(list_sort(list_distinct(__T)), '|') AS keywords,
+         coalesce(array_to_string(__T[15 : 14 + (doc_id % 3)::INT], '|'), '')
+           AS ref_titles,
+         coalesce(array_to_string(list_transform(__T[15 : 14 + (doc_id % 3)::INT],
+                                        t -> '{_Q}' || t), '|'), '') AS ref_urls,
+         coalesce(array_to_string(__T[5 : 4 + (doc_id % 4)::INT], '|'), '')
+           AS cited_titles,
+         coalesce(array_to_string(__T[9 : 8 + (doc_id % 3)::INT], '|'), '')
+           AS download_urls,
+         coalesce(array_to_string(__T[12 : 11 + (doc_id % 2)::INT], '|'), '')
+           AS source_urls
+  FROM documents
+""".replace("__T", "(string_split(text, ' '))")
+
+
+@register("p8_parse_profile", _P8_FLAT_SQL)
+def p8_parse_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 (BingAnalysis.java:58-164 + BingAnalysisUtils.java:40-166):
+    render a Bing profile page per document, parse it with the real DOM
+    walker into the nested Profile model (panels of snippet-maps,
+    references/citedPapers mini-profiles, download/source urls), then
+    flatten through the typed accessors (Profile.java:29-113).  The oracle
+    computes the same flat rows straight from the document columns — a
+    green hash certifies generator∘parser == identity on every field."""
+    p = _parsed_profiles(spark, sf_dir)
+    pan = F.col("p.panels")
+    j = lambda c: F.concat_ws("|", c)  # noqa: E731
+    return p.select(
+        F.col("profile_id").cast("long"),
+        F.col("p.title").alias("title"),
+        j(BP.panel_items_col(pan, "Authors")).alias("authors"),
+        j(BP.panel_items_col(pan, "Authors", "url")).alias("author_urls"),
+        BP.first_panel_item_col(pan, "Year").cast("int").alias("year"),
+        BP.first_panel_item_col(pan, "Journal").alias("journal"),
+        BP.first_panel_item_col(pan, "Cited by").cast("int").alias("cited_by"),
+        BP.first_panel_item_col(pan, "Introduction").alias("introduction"),
+        j(BP.panel_items_col(pan, "Keywords")).alias("keywords"),
+        j(F.transform("p.references", lambda x: x["title"])).alias("ref_titles"),
+        j(F.transform("p.references", lambda x: x["url"])).alias("ref_urls"),
+        j(F.transform("p.cited_papers", lambda x: x["title"])).alias("cited_titles"),
+        j(F.col("p.download_urls")).alias("download_urls"),
+        j(F.col("p.source_urls")).alias("source_urls"),
+    )
+
+
+@register(
+    "p7_parse_search",
+    f"""
+    WITH f AS (
+      SELECT (doc_id // 10)::INT AS page_id,
+             (row_number() OVER (PARTITION BY doc_id // 10 ORDER BY doc_id)
+               - 1)::INT AS item_idx,
+             'doc-' || doc_id::VARCHAR AS title,
+             'http://www.bing.com/academic/profile?id=' || doc_id::VARCHAR
+               || '&encoded=0&v=paper_preview' AS url,
+             array_to_string(__T[1:3], '|') AS authors,
+             array_to_string(list_transform(__T[1:3], a -> '{_Q}' || a), '|')
+               AS author_urls,
+             (1990 + doc_id % 30)::VARCHAR AS year,
+             source AS journal,
+             (n_chars % 250)::VARCHAR AS cited_by,
+             array_to_string(__T[1:10], ' ') AS introduction,
+             array_to_string(list_sort(list_distinct(__T)), '|') AS keywords
+      FROM documents)
+    SELECT * FROM f
+    """.replace("__T", "(string_split(text, ' '))"),
+)
+def p7_parse_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 (BingAnalysis.java:238-417): batch documents 10-per-page, render
+    the <ol id="b_results"> search page, parse it back into result
+    mini-profiles (title, bing-prefixed entity-unescaped url, panels for
+    Authors / Year / Journal / Cited-by / Introduction / Keywords), and
+    flatten one row per result.  Year/Cited-by stay strings — that is what
+    the panel snippets hold (the reference keeps them as text too)."""
+    fields = _doc_profile_fields(spark, sf_dir)
+    pages = (
+        fields.withColumn("page_id", (F.col("profile_id") / 10).cast("int"))
+        .groupBy("page_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "profile_id", "title", "authors", "year", "journal",
+                        "cited_by", "introduction", "keywords",
+                    )
+                )
+            ).alias("items")
+        )
+    )
+    parsed = pages.select(
+        "page_id",
+        F.posexplode(
+            BP.parse_search_udf(_render_search_html_udf(F.col("items")))
+        ).alias("item_idx", "r"),
+    )
+    pan = F.col("r.panels")
+    j = lambda c: F.concat_ws("|", c)  # noqa: E731
+    return parsed.select(
+        F.col("page_id").cast("int"),
+        F.col("item_idx").cast("int"),
+        F.col("r.title").alias("title"),
+        F.col("r.url").alias("url"),
+        j(BP.panel_items_col(pan, "Authors")).alias("authors"),
+        j(BP.panel_items_col(pan, "Authors", "url")).alias("author_urls"),
+        BP.first_panel_item_col(pan, "Year").alias("year"),
+        BP.first_panel_item_col(pan, "Journal").alias("journal"),
+        BP.first_panel_item_col(pan, "Cited by").alias("cited_by"),
+        BP.first_panel_item_col(pan, "Introduction").alias("introduction"),
+        j(BP.panel_items_col(pan, "Keywords")).alias("keywords"),
+    )
 
 
 # =====================================================================

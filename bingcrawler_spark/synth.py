@@ -233,6 +233,114 @@ def robots_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
     return spark.createDataFrame(robots_rows(n_hosts), ROBOTS_SCHEMA)
 
 
+# ------------------------------------------------ Bing-shaped page HTML
+# Deterministic generators for the P7/P8 parsers: given the FIELDS, emit a
+# page shaped exactly like the DOM the reference walks (BingAnalysis.java
+# inline comments quote the real markup).  parse(generate(fields)) ==
+# fields is the round-trip the driver oracle checks, so the generators are
+# deliberately minimal — every class/id/attribute the parser dispatches on,
+# nothing else.
+
+
+def bing_search_page_html(items: list[dict]) -> str:
+    """items: [{profile_id, title, authors: [(name, url|None)], year,
+    journal, cited_by, introduction, keywords: [(kw, url|None)]}] →
+    the <ol id="b_results"> search page (BingAnalysis.java:242-398)."""
+    lis = []
+    for it in items:
+        authors = "".join(
+            f'<a href="{u}">{n}</a>' if u else f"<span>{n}</span>"
+            for n, u in it["authors"]
+        )
+        kws = "".join(
+            f'<a href="{u}">{k}</a>' if u else f"<b>{k}</b>"
+            for k, u in it["keywords"]
+        )
+        href = f'/academic/profile?id={it["profile_id"]}&amp;encoded=0&amp;v=paper_preview'
+        lis.append(
+            f'<li class="aca_algo"><h2 class=""><a target="_blank" href="{href}" '
+            f'h="ID=SERP,5171.1">{it["title"]}</a></h2>'
+            f'<div class="aca_caption">'
+            f'<div class="caption_author">{authors}</div>'
+            f'<div class="caption_venue">{it["year"]} · {it["journal"]}|'
+            f'Cited by:{it["cited_by"]}</div>'
+            f'<div class="caption_abstract">{it["introduction"]}</div>'
+            f'<div class="caption_field">{kws}</div>'
+            f"</div></li>"
+        )
+    return (
+        '<html><body><div id="b_content">'
+        '<ol id="b_results" role="main" aria-label="Search Results">'
+        + "".join(lis)
+        + "</ol></div></body></html>"
+    )
+
+
+def _aca_paper_div(div_id: str, papers: list[dict]) -> str:
+    rows = []
+    for p in papers:
+        authors = " · ".join(p.get("authors", []))
+        author_li = f"<li>{authors}</li>" if authors else ""
+        rows.append(
+            '<tr data-exp="H;;;;;;">'
+            f'<td><li><a href="{p["url"]}" h="ID=morepage">{p["title"]}</a></li></td>'
+            f"<td>{author_li}</td></tr>"
+        )
+    return (
+        f'<div class="mpage" id="{div_id}"><table>' + "".join(rows) + "</table></div>"
+    )
+
+
+def bing_profile_page_html(p: dict) -> str:
+    """p: {title, authors: [(name, url|None)], year, journal, cited_by,
+    introduction, keywords: [(kw, url|None)], references: [{title, url,
+    authors}], cited_papers: [...], download_urls, source_urls} →
+    the profile page (BingAnalysis.java:58-155 markup)."""
+
+    def hpanel(label: str, content: str) -> str:
+        return (
+            '<div class="b_hPanel"><span class="aca_labels">'
+            f'{label}</span><span class="aca_content">{content}</span></div>'
+        )
+
+    authors = "".join(
+        f'<a href="{u}">{n}</a>' if u else f"<span>{n}</span>"
+        for n, u in p["authors"]
+    )
+    kws = "".join(
+        f'<a href="{u}">{k}</a>' if u else f"<b>{k}</b>" for k, u in p["keywords"]
+    )
+    dl = "".join(
+        f'<a target="_blank" href="{u}" h="ID=SERP,5131.1">{u}</a>'
+        for u in p["download_urls"]
+    )
+    src = "".join(
+        f'<a target="_blank" href="{u}" h="ID=SERP,5147.1">{u}</a>'
+        for u in p["source_urls"]
+    )
+    return (
+        '<html><body><div id="b_content"><ol>'
+        f'<li class="aca_title">{p["title"]}</li>'
+        '<li class="aca_main">'
+        + hpanel("Authors", authors)
+        + hpanel("Year", str(p["year"]))
+        + hpanel("Journal", p["journal"])
+        + hpanel("Cited by", str(p["cited_by"]))
+        + hpanel("Introduction", p["introduction"])
+        + hpanel("Keywords", kws)
+        + "</li>"
+        '<li id="acapp_papers">'
+        + _aca_paper_div("aca_rpaper", p["references"])
+        + _aca_paper_div("aca_cpaper", p["cited_papers"])
+        + "</li>"
+        '<div class="aca_source">'
+        '<div class="tab-head"><li role="tab">Download</li><li role="tab">Source</li></div>'
+        f'<div id="tab_1_A489AD"><span>{dl}</span></div>'
+        f'<div id="tab_2_A489AD"><span>{src}</span></div>'
+        "</div></ol></div></body></html>"
+    )
+
+
 # ---------------------------------------------------------------- profiles
 
 _JOURNALS = [f"Journal of {w.title()}" for w in _EN_VOCAB[:12]]

@@ -109,6 +109,62 @@ def _max_file_rows(snap_dir: str) -> int:
         return -1
 
 
+REDIRECT_STATUSES = (301, 302, 303, 307)  # ifRedirect, CommonAnalysis.java:202-207
+
+
+def resolve_redirects(
+    pages: DataFrame, wave: DataFrame, max_hops: int = 3
+) -> DataFrame:
+    """S4 redirect-follow (CommonAnalysis.java:163-206): httpClientGetHtml
+    recursively re-fetches the Location header for 301/302/303/307 until a
+    terminal response.  Spark shape: the recursion unrolls into `max_hops`
+    broadcast joins — each hop joins the (tiny, ≤ wave-size) still-pending
+    set against the pages table on the location url, so the 100 TB pages
+    side never shuffles.  Returns (url, final_url, html, n_hops) for every
+    wave url whose chain TERMINATES at a 200 within the hop budget; chains
+    that dangle (location missing from the table) or still redirect after
+    max_hops produce no row — the caller treats absence as a failed fetch,
+    matching the reference's null return."""
+    is_red = F.col("http_status").isin(*REDIRECT_STATUSES) & F.col(
+        "location"
+    ).isNotNull()
+    base = pages.select("url", "html", "http_status", "location")
+    cur = base.join(F.broadcast(wave.select("url")), "url", "left_semi").select(
+        F.col("url").alias("orig_url"),
+        F.col("url").alias("cur_url"),
+        "html",
+        "http_status",
+        "location",
+        F.lit(0).cast("int").alias("n_hops"),
+    )
+    done = cur.where(~is_red)
+    pend = cur.where(is_red)
+    for _ in range(max_hops):
+        step = base.join(
+            F.broadcast(
+                pend.select(
+                    "orig_url", F.col("location").alias("url"), "n_hops"
+                )
+            ),
+            "url",
+        ).select(
+            "orig_url",
+            F.col("url").alias("cur_url"),
+            "html",
+            "http_status",
+            "location",
+            (F.col("n_hops") + 1).cast("int").alias("n_hops"),
+        )
+        done = done.unionByName(step.where(~is_red))
+        pend = step.where(is_red)
+    return done.select(
+        F.col("orig_url").alias("url"),
+        F.col("cur_url").alias("final_url"),
+        "html",
+        "n_hops",
+    )
+
+
 @dataclass
 class CrawlConfig:
     wave_size: int = 1000
@@ -125,6 +181,10 @@ class CrawlConfig:
     # existing writes + parquet footers, so they cost zero extra jobs and
     # are always on
     extra_metrics: bool = True
+    # S4: follow 301/302/303/307 Location chains during fetch when the
+    # pages table carries http_status/location columns
+    follow_redirects: bool = True
+    max_redirect_hops: int = 3
 
 
 class CrawlEngine:
@@ -249,9 +309,19 @@ class CrawlEngine:
         #     at cluster scale a bucketed/partitioned pages table makes this
         #     a pruned scan), then (2) left-join the tiny hit set back onto
         #     the wave (auto-broadcast: ≤ wave_size rows).
-        hits = self.pages.select("url", "html").join(
-            F.broadcast(top.select("url")), "url", "left_semi"
-        )
+        # S4: when the pages table carries http_status/location, redirect
+        # chains resolve first (bounded broadcast-join recursion); the html
+        # a redirecting url yields is its terminal target's.
+        if self.cfg.follow_redirects and {"http_status", "location"}.issubset(
+            set(self.pages.columns)
+        ):
+            hits = resolve_redirects(
+                self.pages, top, self.cfg.max_redirect_hops
+            ).select("url", "html")
+        else:
+            hits = self.pages.select("url", "html").join(
+                F.broadcast(top.select("url")), "url", "left_semi"
+            )
         fetched = top.join(F.broadcast(hits), "url", "left")
         parsed = (
             fetched.withColumn(

@@ -564,6 +564,164 @@ def f12_seed_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("url", "weight", "depth")
 
 
+@register(
+    "f7_messages_merge",
+    """
+    WITH fr AS (
+      SELECT 'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+               || c_custkey::VARCHAR AS url,
+             c_custkey AS k
+      FROM customer),
+    base AS (
+      SELECT url, 'expect_title' AS key, 'doc-' || k::VARCHAR AS value FROM fr
+      UNION ALL
+      SELECT url, 'weight_hint', (k % 5)::VARCHAR FROM fr WHERE k % 2 = 0),
+    upd AS (
+      SELECT url, 'expect_title' AS key, 'doc-' || k::VARCHAR || '-upd' AS value
+      FROM fr WHERE k % 3 = 0
+      UNION ALL
+      SELECT url, 'expect_author', 'A' || (k % 7)::VARCHAR FROM fr WHERE k % 3 = 0)
+    SELECT url, key, value FROM upd
+    UNION ALL
+    SELECT b.url, b.key, b.value FROM base b
+    LEFT JOIN upd u ON b.url = u.url AND b.key = u.key
+    WHERE u.url IS NULL
+    """,
+)
+def f7_messages_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 putMessage (UrlsDbManager.java:117-236): per-URL k-v metadata
+    merged with update-wins-per-key semantics.  Spark holds REAL
+    map<string,string> columns (the nested model) and merges via
+    frontier.merge_messages; the flattened map entries must equal the
+    oracle's relational k-v merge."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.lit("http://host"), (k % 40).cast("string"), F.lit(".example/c/"),
+        k.cast("string"),
+    )
+    state = c.select(
+        url.alias("url"),
+        F.when(
+            k % 2 == 0,
+            F.map_from_arrays(
+                F.array(F.lit("expect_title"), F.lit("weight_hint")),
+                F.array(
+                    F.concat(F.lit("doc-"), k.cast("string")),
+                    (k % 5).cast("string"),
+                ),
+            ),
+        )
+        .otherwise(
+            F.map_from_arrays(
+                F.array(F.lit("expect_title")),
+                F.array(F.concat(F.lit("doc-"), k.cast("string"))),
+            )
+        )
+        .alias("messages"),
+    )
+    updates = c.where(k % 3 == 0).select(
+        url.alias("url"),
+        F.map_from_arrays(
+            F.array(F.lit("expect_title"), F.lit("expect_author")),
+            F.array(
+                F.concat(F.lit("doc-"), k.cast("string"), F.lit("-upd")),
+                F.concat(F.lit("A"), (k % 7).cast("string")),
+            ),
+        ).alias("messages"),
+    )
+    merged = FR.merge_messages(state, updates)
+    return merged.select(
+        "url", F.explode("messages").alias("key", "value")
+    )
+
+
+# =====================================================================
+# §2.2 Source operators — S4 redirect resolution
+# =====================================================================
+
+_S4_PG_SQL = """
+  SELECT c_custkey AS k,
+         'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+           || c_custkey::VARCHAR AS url,
+         CASE WHEN c_custkey % 7 = 3 THEN NULL
+              ELSE 'payload-' || c_custkey::VARCHAR END AS html,
+         CASE WHEN c_custkey % 7 = 3
+              THEN CASE WHEN c_custkey % 2 = 0 THEN 301 ELSE 302 END
+              ELSE 200 END AS http_status,
+         CASE WHEN c_custkey % 7 = 3 THEN
+           'http://host' || (((c_custkey * 3 + 1) % 2000) % 40)::VARCHAR
+             || '.example/c/' || ((c_custkey * 3 + 1) % 2000)::VARCHAR
+         END AS location
+  FROM customer
+"""
+
+_S4_RED = "(http_status IN (301, 302, 303, 307) AND location IS NOT NULL)"
+
+
+@register(
+    "s4_redirect_resolve",
+    f"""
+    WITH pg AS ({_S4_PG_SQL}),
+    w AS (SELECT url FROM pg WHERE k % 3 = 0),
+    h0 AS (SELECT pg.url AS orig_url, pg.url AS cur_url, pg.html,
+                  pg.http_status, pg.location, 0 AS n_hops
+           FROM pg JOIN w USING (url)),
+    s1 AS (SELECT h.orig_url, pg.url AS cur_url, pg.html, pg.http_status,
+                  pg.location, 1 AS n_hops
+           FROM h0 h JOIN pg ON pg.url = h.location WHERE (h.http_status IN (301, 302, 303, 307) AND h.location IS NOT NULL)),
+    s2 AS (SELECT h.orig_url, pg.url AS cur_url, pg.html, pg.http_status,
+                  pg.location, 2 AS n_hops
+           FROM s1 h JOIN pg ON pg.url = h.location WHERE (h.http_status IN (301, 302, 303, 307) AND h.location IS NOT NULL)),
+    s3 AS (SELECT h.orig_url, pg.url AS cur_url, pg.html, pg.http_status,
+                  pg.location, 3 AS n_hops
+           FROM s2 h JOIN pg ON pg.url = h.location WHERE (h.http_status IN (301, 302, 303, 307) AND h.location IS NOT NULL)),
+    done AS (
+      SELECT * FROM h0 WHERE NOT ({_S4_RED})
+      UNION ALL SELECT * FROM s1 WHERE NOT ({_S4_RED})
+      UNION ALL SELECT * FROM s2 WHERE NOT ({_S4_RED})
+      UNION ALL SELECT * FROM s3 WHERE NOT ({_S4_RED}))
+    SELECT orig_url AS url, cur_url AS final_url, html, n_hops::INT AS n_hops
+    FROM done
+    """,
+)
+def s4_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (CommonAnalysis.java:163-206): httpClientGetHtml's recursive
+    Location-follow as `crawler.resolve_redirects` — max_hops broadcast
+    joins, the pages side never shuffles.  Chains that dangle (location
+    not in the table) or exceed 3 hops yield no row, matching the
+    reference's null; the oracle unrolls the same recursion as CTEs."""
+    from bingcrawler_spark.crawler import resolve_redirects
+
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+
+    def u(key):
+        return F.concat(
+            F.lit("http://host"),
+            ((key % 2000) % 40).cast("string"),
+            F.lit(".example/c/"),
+            (key % 2000).cast("string"),
+        )
+
+    is_red = k % 7 == 3
+    pages = c.select(
+        F.concat(
+            F.lit("http://host"), (k % 40).cast("string"), F.lit(".example/c/"),
+            k.cast("string"),
+        ).alias("url"),
+        F.when(~is_red, F.concat(F.lit("payload-"), k.cast("string"))).alias("html"),
+        F.when(is_red, F.when(k % 2 == 0, F.lit(301)).otherwise(F.lit(302)))
+        .otherwise(F.lit(200))
+        .cast("int")
+        .alias("http_status"),
+        F.when(is_red, u(k * 3 + 1)).alias("location"),
+        k.alias("k"),
+    )
+    wave = pages.where(F.col("k") % 3 == 0).select("url")
+    return resolve_redirects(pages.drop("k"), wave, max_hops=3)
+
+
 # =====================================================================
 # §2.3 Parse / extract operators — P7/P8 DOM parsers
 # =====================================================================

@@ -44,6 +44,11 @@ FRONTIER_SCHEMA = T.StructType(
         T.StructField("depth", T.IntegerType(), False),
         T.StructField("discovery_wave", T.IntegerType(), False),
         T.StructField("referrers", T.ArrayType(T.StringType()), False),
+        # F7: per-URL k-v metadata (UrlsDbManager.java:117-236) — the
+        # reference threads expected-title/author messages from the search
+        # parse through the crawl to the R16 gate; every row carries a
+        # (possibly empty) map, like the BDB row's messages HashMap
+        T.StructField("messages", T.MapType(T.StringType(), T.StringType()), True),
     ]
 )
 
@@ -71,19 +76,31 @@ def empty_seen(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame([], SEEN_SCHEMA)
 
 
+_EMPTY_MSGS = 'cast(map() as map<string,string>)'
+
+
 def seeds_df_to_frontier(seeds: DataFrame) -> DataFrame:
     """Seed injection (F12, BingParser.java:81-107) as a pure plan:
-    seeds(raw_url, weight, seed_pos) → canon (P1) + first-occurrence-wins
-    (putUrl: later duplicates are KEYEXIST no-ops, AbstractParser.java:
-    167-173) + default frontier fields.  DataFrame in, DataFrame out — a
-    derived seed list of any size never touches the driver (the list
-    overload below is for genuinely small literal seed sets)."""
+    seeds(raw_url, weight, seed_pos [, messages]) → canon (P1) +
+    first-occurrence-wins (putUrl: later duplicates are KEYEXIST no-ops,
+    AbstractParser.java:167-173) + default frontier fields.  DataFrame in,
+    DataFrame out — a derived seed list of any size never touches the
+    driver (the list overload below is for genuinely small literal seed
+    sets).  An optional `messages` map column seeds F7 metadata
+    (BingParser.java:98-105 putMessage on the injected search url)."""
     w_first = W.partitionBy("url").orderBy("seed_pos")
+    msgs = (
+        F.coalesce(F.col("messages"), F.expr(_EMPTY_MSGS))
+        if "messages" in seeds.columns
+        else F.expr(_EMPTY_MSGS)
+    )
     return (
-        seeds.select(
+        seeds.withColumn("messages", msgs)
+        .select(
             canon_url_col(F.col("raw_url")).alias("url"),
             F.col("weight").cast("int").alias("weight"),
             "seed_pos",
+            "messages",
         )
         .withColumn("_rn", F.row_number().over(w_first))
         .where(F.col("_rn") == 1)
@@ -95,18 +112,24 @@ def seeds_df_to_frontier(seeds: DataFrame) -> DataFrame:
     )
 
 
-def seeds_to_frontier(spark: SparkSession, seeds: list[tuple[str, int]]) -> DataFrame:
-    """List overload of seeds_df_to_frontier for literal seed sets."""
+def seeds_to_frontier(spark: SparkSession, seeds: list) -> DataFrame:
+    """List overload of seeds_df_to_frontier: (url, weight) or
+    (url, weight, messages-dict) tuples."""
     seed_schema = T.StructType(
         [
             T.StructField("raw_url", T.StringType(), False),
             T.StructField("weight", T.IntegerType(), False),
             T.StructField("seed_pos", T.IntegerType(), False),
+            T.StructField(
+                "messages", T.MapType(T.StringType(), T.StringType()), True
+            ),
         ]
     )
-    df = spark.createDataFrame(
-        [(u, int(w), i) for i, (u, w) in enumerate(seeds)], seed_schema
-    )
+    rows = [
+        (s[0], int(s[1]), i, dict(s[2]) if len(s) > 2 and s[2] else {})
+        for i, s in enumerate(seeds)
+    ]
+    df = spark.createDataFrame(rows, seed_schema)
     return seeds_df_to_frontier(df)
 
 
@@ -168,6 +191,11 @@ def settle(
     Returns the settled wave rows (seen-schema); pass seen to get the
     unioned set, or None for the append delta alone (the engine appends —
     the seen table is append-only so wave cost never scales with |seen|)."""
+    msgs = (
+        F.coalesce(F.col("messages"), F.expr(_EMPTY_MSGS))
+        if "messages" in popped_results.columns
+        else F.expr(_EMPTY_MSGS)
+    )
     settled = popped_results.select(
         "url",
         "host",
@@ -175,12 +203,17 @@ def settle(
         "depth",
         "discovery_wave",
         "referrers",
+        msgs.alias("messages"),
         F.col("status").cast("int"),
         F.col("simhash").cast("long"),
         F.lit(wave).cast("int").alias("settle_wave"),
         F.col("pop_rank").cast("int"),
     )
-    return settled if seen is None else seen.unionByName(settled)
+    if seen is None:
+        return settled
+    # allowMissingColumns: a pre-F7 seen-shaped input (no messages column)
+    # unions with null messages
+    return seen.unionByName(settled, allowMissingColumns=True)
 
 
 # --------------------------------------------------------------------- F2/F3
@@ -272,15 +305,24 @@ def dedup_insert(
     # array encodes the reference's sequential attempt order, so winner
     # selection (first ELIGIBLE attempt) and later-referrer accumulation
     # are array expressions instead of a window + self-join + group-by.
-    attempts = cand.groupBy(F.col("curl")).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    "pop_rank", "link_pos", "parent_url", "child_depth", "child_weight"
-                )
-            )
-        ).alias("_arr")
-    )
+    has_msgs = "messages" in cand.columns
+    attempt_fields = [
+        "pop_rank", "link_pos", "parent_url", "child_depth", "child_weight",
+    ] + (["messages"] if has_msgs else [])
+    collected = F.collect_list(F.struct(*attempt_fields))
+    if has_msgs:
+        # maps are not orderable, so the struct needs an explicit
+        # comparator over the attempt-order key (pop_rank, link_pos)
+        def _cmp(lft, rgt):
+            return F.when(
+                lft["pop_rank"] != rgt["pop_rank"],
+                F.signum(lft["pop_rank"] - rgt["pop_rank"]).cast("int"),
+            ).otherwise(F.signum(lft["link_pos"] - rgt["link_pos"]).cast("int"))
+
+        sorted_arr = F.array_sort(collected, _cmp)
+    else:
+        sorted_arr = F.array_sort(collected)
+    attempts = cand.groupBy(F.col("curl")).agg(sorted_arr.alias("_arr"))
 
     if bloom is not None:
         flagged = attempts.withColumn("_maybe", bloom.might_contain_col(F.col("curl")))
@@ -311,6 +353,11 @@ def dedup_insert(
             & (x["link_pos"] > winner["link_pos"])
         ),
     )
+    new_msgs = (
+        F.coalesce(F.col("_elig")[0]["messages"], F.expr(_EMPTY_MSGS))
+        if has_msgs
+        else F.expr(_EMPTY_MSGS)
+    )  # winner's messages ride the new row (putUrl constructor semantics)
     new_rows = (
         fresh.withColumn("_elig", elig)
         .where(F.size("_elig") > 0)
@@ -323,6 +370,7 @@ def dedup_insert(
             F.array_sort(
                 F.array_distinct(F.transform(later, lambda x: x["parent_url"]))
             ).alias("referrers"),
+            new_msgs.alias("messages"),
         )
     )
     return new_rows, edges

@@ -36,6 +36,7 @@ class OracleRow:
     depth: int
     discovery_wave: int
     referrers: set[str] = field(default_factory=set)
+    messages: dict[str, str] = field(default_factory=dict)  # F7
     status: int | None = None
     simhash: int | None = None
     settle_wave: int | None = None
@@ -50,8 +51,12 @@ class OracleCrawl:
         default_budget: int | None = None,
         child_weight=None,  # callable url -> int
         compute_simhash: bool = True,
+        redirects: dict[str, str] | None = None,  # url -> Location (S4)
+        max_redirect_hops: int = 3,
     ):
         self.pages = pages
+        self.redirects = redirects or {}
+        self.max_redirect_hops = max_redirect_hops
         self.robots = robots or {}
         self.max_depth = max_depth
         self.default_budget = default_budget
@@ -63,14 +68,16 @@ class OracleCrawl:
         self._wave = 0
 
     # ---- seed injection (F12) ------------------------------------------
-    def bootstrap(self, seeds: list[tuple[str, int]]) -> None:
-        for raw, w in seeds:
+    def bootstrap(self, seeds: list) -> None:
+        for s in seeds:
+            raw, w = s[0], s[1]
+            msgs = dict(s[2]) if len(s) > 2 and s[2] else {}
             url = py_canon_url(raw)
             if url in self.frontier:
                 continue
-            self.frontier[url] = OracleRow(
-                url, py_host_name(url), w, 0, discovery_wave=0
-            )
+            row = OracleRow(url, py_host_name(url), w, 0, discovery_wave=0)
+            row.messages = msgs  # F7: putMessage on the injected seed
+            self.frontier[url] = row
 
     # ---- F1 + politeness -------------------------------------------------
     def _pop_set(self, wave_size: int) -> list[str]:
@@ -117,6 +124,17 @@ class OracleCrawl:
             url, py_host_name(url), weight, depth, discovery_wave=self._wave
         )  # NEW insert: empty referrers (constructor never adds one)
 
+    # ---- S4 redirect-follow (CommonAnalysis.java:163-206) ------------------
+    def _fetch(self, url: str) -> bytes | None:
+        """Follow the Location chain up to max_redirect_hops; a terminal
+        content row yields its html, a dangling or over-long chain None."""
+        for _ in range(self.max_redirect_hops + 1):
+            if url in self.redirects:
+                url = self.redirects[url]
+                continue
+            return self.pages.get(url)
+        return None
+
     # ---- one wave ----------------------------------------------------------
     def run_wave(self, wave_size: int) -> int:
         self._wave += 1
@@ -126,7 +144,7 @@ class OracleCrawl:
         for rank, url in enumerate(popped, start=1):
             self.pop_log.append((self._wave, rank, url))
             row = self.frontier.pop(url)
-            html = self.pages.get(url)
+            html = self._fetch(url)
             row.status = 1 if html is not None else -1
             if html is not None and self.compute_simhash:
                 row.simhash = to_signed64(py_simhash64(py_extract_text(html)))
@@ -162,6 +180,7 @@ class OracleCrawl:
                 r.depth,
                 r.discovery_wave,
                 tuple(sorted(r.referrers)),
+                tuple(sorted(r.messages.items())),
                 r.status,
                 r.simhash,
                 r.settle_wave,
@@ -178,6 +197,7 @@ class OracleCrawl:
                 r.depth,
                 r.discovery_wave,
                 tuple(sorted(r.referrers)),
+                tuple(sorted(r.messages.items())),
             )
             for r in self.frontier.values()
         }

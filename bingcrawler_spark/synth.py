@@ -233,6 +233,90 @@ def robots_df(spark: SparkSession, n_hosts: int = 8) -> DataFrame:
     return spark.createDataFrame(robots_rows(n_hosts), ROBOTS_SCHEMA)
 
 
+# ------------------------------------------------------------- redirects
+
+_REDIR_MOD = 17  # i % 17 == 4 → a redirect stub url /r/{i} exists
+
+
+def redirect_stub_url(i: int, n_hosts: int) -> str:
+    return f"http://host{page_host(i, n_hosts)}.example/r/{i}"
+
+
+def redirect_stub_row(i: int, n_pages: int, n_hosts: int) -> dict | None:
+    """Redirect stub for i (when i % 17 == 4): 301/302 with a Location
+    header.  ~1 in 5 stubs chains to ANOTHER stub (multi-hop path), the
+    rest point at a canonical page url — whose target may be one of the
+    deterministically missing pages (dangling-location path)."""
+    if i % _REDIR_MOD != 4:
+        return None
+    j = mix(i, 57) % n_pages
+    if j % _REDIR_MOD == 4 and j != i:
+        loc = redirect_stub_url(j, n_hosts)
+    else:
+        loc = page_url(mix(i, 55) % n_pages, n_hosts)
+    return {
+        "url": redirect_stub_url(i, n_hosts),
+        "warc_ts": pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(seconds=i),
+        "html": None,
+        "text": None,
+        "lang": None,
+        "http_status": 301 if mix(i, 56) % 2 == 0 else 302,
+        "location": loc,
+    }
+
+
+PAGES_REDIRECT_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("location", T.StringType(), True),
+    ]
+)
+
+
+def synth_pages_with_redirects_df(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 8,
+    partitions: int | None = None,
+    n_words: int = 30,
+) -> DataFrame:
+    """The pages table extended per S4: content rows carry http_status=200;
+    redirect stub rows carry 301/302 + Location and no body."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in (int(x) for x in pdf["id"]):
+                if page_exists(i, n_pages):
+                    r = page_row(i, n_pages, n_hosts, n_words)
+                    r["http_status"] = 200
+                    r["location"] = None
+                    rows.append(r)
+                stub = redirect_stub_row(i, n_pages, n_hosts)
+                if stub is not None:
+                    rows.append(stub)
+            if rows:
+                yield pd.DataFrame(rows, columns=[f.name for f in PAGES_REDIRECT_SCHEMA.fields])
+
+    rng = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, PAGES_REDIRECT_SCHEMA)
+
+
+def redirects_local(n_pages: int, n_hosts: int = 8) -> dict[str, str]:
+    """url → location for every stub (oracle-side twin)."""
+    out = {}
+    for i in range(n_pages):
+        stub = redirect_stub_row(i, n_pages, n_hosts)
+        if stub is not None:
+            out[stub["url"]] = stub["location"]
+    return out
+
+
 # ------------------------------------------------ Bing-shaped page HTML
 # Deterministic generators for the P7/P8 parsers: given the FIELDS, emit a
 # page shaped exactly like the DOM the reference walks (BingAnalysis.java

@@ -234,6 +234,77 @@ def simhash_neardup_pairs_sql(
 # ----------------------------------------------------------- ngram jaccard
 
 
+def ngram_jaccard_banded_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_jaccard_pct: int = 30,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-n-gram Jaccard with an LSH blocking key: the block is the
+    FIRST minhash band of the shingle signature, so block sizes are bounded
+    by hash dispersion instead of a raw attribute's cardinality (a `lang`
+    block is ~20% of a web corpus — O(block²) dies at scale; a band block
+    holds only near-duplicate clusters).  Pairs sharing the band get the
+    exact n-gram Jaccard verify; the trade is recall at the margin
+    (a pair must agree on all k/bands minhash rows of band 0), which is
+    the standard LSH contract — the oracle replicates the banding, so the
+    approximation itself is what is verified."""
+    rows = k // bands
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            X.shingles_col(F.col(text_col), n).alias("sh"),
+        )
+        .withColumn("hsh", F.transform("sh", X.h32_col))
+        .withColumn(
+            "block",
+            F.slice(X.minhash_sig_from_hashes(F.col("hsh"), k), 1, rows).cast(
+                "array<long>"
+            ),
+        )
+        .drop("hsh")
+    )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = a.join(
+        b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc") < F.col("b.doc"))
+    ).select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.size(F.array_intersect("a.sh", "b.sh")).cast("long").alias("n_common"),
+        F.size(F.array_union("a.sh", "b.sh")).cast("long").alias("n_union"),
+    )
+    return pairs.where(F.col("n_common") * 100 >= F.col("n_union") * min_jaccard_pct)
+
+
+def ngram_jaccard_banded_pairs_sql(
+    docs_sql: str,
+    n: int = 3,
+    min_jaccard_pct: int = 30,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    rows = k // bands
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc,
+             {X.shingles_sql(text_col, n)} AS sh,
+             ({X.minhash_sig_sql(X.shingles_sql(text_col, n), k)})[1:{rows}] AS block
+      FROM ({docs_sql})
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
+           (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::BIGINT AS n_union
+    FROM base a JOIN base b ON a.block = b.block AND a.doc < b.doc
+    WHERE len(list_intersect(a.sh, b.sh)) * 100
+          >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {min_jaccard_pct}
+    """
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -242,10 +313,10 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Exact word-n-gram Jaccard over pairs within a blocking key — the
-    ground-truth baseline the LSH variants are measured against.  All-pairs
-    within a block is O(block²); at 100 TB the block key must be an LSH
-    bucket (minhash_lsh_pairs), never a raw attribute."""
+    """Exact word-n-gram Jaccard over pairs within a raw-attribute block —
+    the ground-truth baseline the LSH variants are measured against in
+    TESTS ONLY.  All-pairs within a block is O(block²), so the registered
+    scale path is ngram_jaccard_banded_pairs (minhash-band block key)."""
     base = docs.select(
         F.col(id_col).alias("doc"),
         F.col(block_col).alias("block"),

@@ -998,6 +998,61 @@ def p16_md5_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_name", F.md5(F.col("c_name")).alias("md5_hex"))
 
 
+@register(
+    "p13_simhash128",
+    f"SELECT * FROM {X.simhash128_cte_sql('SELECT doc_id, text FROM documents')}",
+)
+def p13_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 SimHash-128 (Simhash.java:13-103): the md5-per-token 128-bit
+    bit-vote fingerprint — votes over the RAW token list (repeats count),
+    little-endian bit order within each hash byte — emitted as four 32-bit
+    words so DuckDB verifies every bit."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return X.simhash128_df(d)
+
+
+@register(
+    "p13b_hamming_gate",
+    f"""
+    WITH fp AS MATERIALIZED (
+      SELECT * FROM {X.simhash128_cte_sql(
+          'SELECT doc_id, text FROM documents WHERE doc_id < 40')})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))
+            + bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3)))::INT
+             AS hamming,
+           CASE WHEN (bit_count(xor(a.fp0, b.fp0)) + bit_count(xor(a.fp1, b.fp1))
+                 + bit_count(xor(a.fp2, b.fp2)) + bit_count(xor(a.fp3, b.fp3)))
+                <= 60 THEN 1 ELSE 0 END AS is_match
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    """,
+)
+def p13b_hamming_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 gating: 128-bit hamming distance with the reference's link-match
+    threshold MAX_HAMMING_DISTANCE = 60 (Setting.java:63, the TenderParser
+    match filter).  Pairwise over a small slice — the gate semantics, not a
+    scale path (near-dup at scale goes through the banded operators)."""
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select(
+        "doc_id", "text"
+    )
+    fp = X.simhash128_df(d).persist()
+    fp.count()
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = sum(
+        F.bit_count(F.col(f"a.fp{k}").bitwiseXOR(F.col(f"b.fp{k}")))
+        for k in range(4)
+    ).cast("int")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+            F.when(ham <= 60, 1).otherwise(0).alias("is_match"),
+        )
+    )
+
+
 @register("p12_simhash64")  # rows-only: Python-2-hash-clone tokenizer is not SQL
 def p12_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P12 SimHash-64 (TextAnalysis.java:97-150) — the reference's exact
@@ -1230,6 +1285,41 @@ def r12_banded_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "r15_backfill",
+    """
+    SELECT 'doc-' || doc_id::VARCHAR AS title,
+           __SH__ AS simhash,
+           CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS backfilled
+    FROM documents
+    """.replace("__SH__", X.simhash60_sql("text")),
+)
+def r15_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R15 incremental fan-out backfill (BingDataSimHashAnalysis.java:
+    86-98): fingerprint ONLY the profiles missing from the simhash table
+    (simHashManager.get(title)==null gate) — left-anti join against the
+    existing fingerprints, simhash computed over just the missing subset,
+    union back.  The oracle recomputes every fingerprint; values agree
+    because the incremental path must produce exactly what a full pass
+    would."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("title"),
+        "doc_id",
+        "text",
+    )
+    # the pre-existing simhash table: every third title already done
+    existing = X.simhash60_df(d.where(F.col("doc_id") % 3 == 0)).join(
+        d.select("doc_id", "title"), "doc_id"
+    ).select("title", F.col("simhash60").alias("simhash"))
+    missing = d.join(existing.select("title"), "title", "left_anti")
+    backfilled = X.simhash60_df(missing).join(
+        d.select("doc_id", "title"), "doc_id"
+    ).select("title", F.col("simhash60").alias("simhash"))
+    return existing.withColumn("backfilled", F.lit(0)).unionByName(
+        backfilled.withColumn("backfilled", F.lit(1))
+    )
+
+
+@register(
     "r14_counters",
     """
     SELECT 'region' AS counter, count(*)::BIGINT AS value FROM region
@@ -1304,10 +1394,11 @@ def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.simhash_neardup_pairs(_docs_with_near_dups(spark, sf_dir))
 
 
-@register("dd_ngram_jaccard", DD.ngram_jaccard_pairs_sql(DOCS_NEAR_DUPS_SQL))
+@register("dd_ngram_jaccard", DD.ngram_jaccard_banded_pairs_sql(DOCS_NEAR_DUPS_SQL))
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ground-truth 3-gram Jaccard pairs within a lang block."""
-    return DD.ngram_jaccard_pairs(_docs_with_near_dups(spark, sf_dir))
+    """Exact 3-gram Jaccard pairs blocked on a minhash band key (bounded
+    blocks; the lang-blocked all-pairs form is a test-only baseline)."""
+    return DD.ngram_jaccard_banded_pairs(_docs_with_near_dups(spark, sf_dir))
 
 
 @register("dd_embedding_clones", SIM.embedding_clone_pairs_sql(EMB_CLONES_SQL))

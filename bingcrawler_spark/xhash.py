@@ -220,6 +220,70 @@ def fingerprint_sql(expr: str) -> str:
     )
 
 
+def simhash128_df(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """P13 SimHash-128 (Simhash.java:13-103): md5 of each token IS the
+    128-bit per-token hash; votes accumulate WITHOUT dedup (getSign
+    iterates the raw token list — repeats count, unlike TextAnalysis's
+    distinct-token 64-bit variant); sign bit i reads hash byte i/8, bit
+    i%8 (little-endian within the byte, mergeBytes:88-91); bit = 1 iff
+    vote > 0.
+
+    Emitted as four 32-bit words fp0..fp3 (word k holds sign bits
+    [32k, 32k+32), bit b of the word = sign[32k+b]) so each fits a signed
+    BIGINT in both engines and DuckDB can verify the fingerprint exactly.
+    Same explode+aggregate shape as simhash60_df — stays in codegen."""
+    from pyspark.sql import functions as F
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("_t")
+    ).select(F.col(id_col), F.md5("_t").alias("_m"))
+    bits = toks.select(
+        id_col, "_m", F.explode(F.sequence(F.lit(0), F.lit(127))).alias("_b")
+    )
+    # column-valued shift amounts need the SQL form (the python wrapper
+    # only takes int literals); conv() reads the hash byte from hex
+    vote = F.expr(
+        "shiftright(conv(substring(_m, (_b div 8) * 2 + 1, 2), 16, 10), _b % 8) % 2 * 2 - 1"
+    )
+    votes = bits.groupBy(id_col, "_b").agg(F.sum(vote).alias("_v"))
+    word = F.expr("_b div 32")
+    bit_val = F.expr("shiftleft(1L, _b % 32)")
+    aggs = [
+        F.sum(
+            F.when((F.col("_v") > 0) & (word == k), bit_val).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+        .cast("long")
+        .alias(f"fp{k}")
+        for k in range(4)
+    ]
+    return votes.groupBy(id_col).agg(*aggs)
+
+
+def simhash128_cte_sql(docs_sql: str, id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB twin of simhash128_df: a full subquery producing
+    (id, fp0..fp3) — same vote math, same word/bit layout."""
+    words = ", ".join(
+        f"sum(CASE WHEN vote > 0 AND b // 32 = {k} "
+        f"THEN (1::BIGINT << (b % 32)) ELSE 0 END)::BIGINT AS fp{k}"
+        for k in range(4)
+    )
+    return f"""(
+      WITH __tk AS (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok
+        FROM ({docs_sql})),
+      __h AS (SELECT {id_col}, md5(tok) AS m FROM __tk),
+      __bt AS (SELECT {id_col}, m, bi.b
+               FROM __h, (SELECT unnest(generate_series(0, 127)) AS b) bi),
+      __v AS (SELECT {id_col}, b,
+                     sum(((('0x' || substr(m, (b // 8) * 2 + 1, 2))::INT
+                           >> (b % 8)) & 1) * 2 - 1) AS vote
+              FROM __bt GROUP BY 1, 2)
+      SELECT {id_col}, {words} FROM __v GROUP BY {id_col}
+    )"""
+
+
 def simhash60_df(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Scalable simhash60: identical math to simhash60_col, computed via
     explode + aggregate instead of one 60-fold column expression.

@@ -63,7 +63,61 @@ HEADLINE = [
     "ts_fingerprints",
     "ev_sessionize",
     "ev_tumbling",
+    "p8_parse_profile",
+    "s4_redirect_resolve",
 ]
+
+
+def load_prev_bench() -> tuple[str, dict] | None:
+    """Newest BENCH_r*.json in the repo root (the driver writes one per
+    round) — feeds the vs_prev regression block."""
+    import glob
+    import re
+
+    cands = sorted(
+        glob.glob("BENCH_r*.json"),
+        key=lambda p: int(re.search(r"BENCH_r(\d+)", p).group(1)),
+    )
+    if not cands:
+        return None
+    try:
+        with open(cands[-1]) as f:
+            return cands[-1], json.load(f)
+    except Exception:
+        return None
+
+
+def diff_vs_prev(result: dict) -> dict | None:
+    prev = load_prev_bench()
+    if prev is None:
+        return None
+    name, p = prev
+    out = {"prev_file": name, "queries": {}}
+    for q, sec in result["queries"].items():
+        old = (p.get("queries") or {}).get(q)
+        if old is None:
+            out["queries"][q] = {"prev": None, "now": sec, "delta": None}
+        else:
+            out["queries"][q] = {
+                "prev": old,
+                "now": sec,
+                "delta": round(sec - old, 2),
+            }
+    if p.get("crawl"):
+        out["crawl_urls_per_sec"] = {
+            "prev": p["crawl"].get("urls_per_sec"),
+            "now": result["crawl"]["urls_per_sec"],
+        }
+    if p.get("scaling") and result.get("scaling"):
+        out["efficiency_full_engine"] = {
+            "prev": p["scaling"].get("efficiency_full_engine"),
+            "now": result["scaling"].get("efficiency_full_engine"),
+        }
+        out["efficiency_parse_stage"] = {
+            "prev": p["scaling"].get("efficiency_parse_stage"),
+            "now": result["scaling"].get("efficiency_parse_stage"),
+        }
+    return out
 
 
 def run_crawl(spark) -> dict:
@@ -379,6 +433,7 @@ def main() -> None:
         "crawl": crawl,
         "scaling": scaling,
     }
+    result["vs_prev"] = diff_vs_prev(result)
     write_bench_md(result)
     print(json.dumps(result))
 

@@ -1713,6 +1713,41 @@ def p3_unescape_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p15_scrub_filename",
+    r"""
+    WITH s AS (
+      SELECT p_partkey,
+             replace(p_name, ' ', '/') ||
+             CASE p_partkey % 5 WHEN 0 THEN ':v*1?'
+                                WHEN 1 THEN '"<q>"'
+                                WHEN 2 THEN '\a|b'
+                                ELSE '.txt' END AS raw_name
+      FROM part)
+    SELECT p_partkey, raw_name,
+           translate(raw_name, '/\:*?"<>|', '~~~~~~~~~') AS scrubbed
+    FROM s
+    """,
+)
+def p15_scrub_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15 replaceFileBadLetter (Util.java:168-174): the 9 filesystem-bad
+    characters each become '~' — char-for-char translate in both engines."""
+    from bingcrawler_spark.functions.canon import scrub_filename_col
+
+    p = _t(spark, sf_dir, "part")
+    k = F.col("p_partkey")
+    raw = F.concat(
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("/")),
+        F.when(k % 5 == 0, F.lit(':v*1?'))
+        .when(k % 5 == 1, F.lit('"<q>"'))
+        .when(k % 5 == 2, F.lit("\\a|b"))
+        .otherwise(F.lit(".txt")),
+    )
+    return p.select("p_partkey", raw.alias("raw_name")).select(
+        "p_partkey", "raw_name", scrub_filename_col(F.col("raw_name")).alias("scrubbed")
+    )
+
+
+@register(
     "p6_charset_sniff",
     """
     WITH s AS (

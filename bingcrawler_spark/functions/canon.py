@@ -116,3 +116,21 @@ def py_md5_hex(s: str) -> str:
 
 def md5_col(s: Column) -> Column:
     return F.md5(s)
+
+
+# ---------------------------------------------------------- P15: scrubbers
+
+_BAD_FILE_CHARS = '/\\:*?"<>|'
+
+
+def py_scrub_filename(s: str) -> str:
+    """P15 replaceFileBadLetter (Util.java:168-174): each of /\\:*?"<>|
+    becomes '~' (the reference replaceAll with a single-char alternation —
+    one '~' per bad character)."""
+    return "".join("~" if c in _BAD_FILE_CHARS else c for c in s)
+
+
+def scrub_filename_col(s: Column) -> Column:
+    """Column twin of py_scrub_filename — translate() maps char-for-char,
+    exactly the replaceAll semantics (JVM-side, codegen-friendly)."""
+    return F.translate(s, _BAD_FILE_CHARS, "~" * len(_BAD_FILE_CHARS))

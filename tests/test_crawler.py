@@ -182,3 +182,51 @@ def test_hot_host_salted_popwave_exact(spark):
         for r in want_df.withColumn("pop_rank", F.row_number().over(wg)).collect()
     }
     assert got == want
+
+
+def test_resolve_redirects_unit(spark):
+    """S4 operator in isolation: direct hit, 1-hop, chained 2-hop, chain
+    over the hop cap, and a dangling location."""
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.crawler import resolve_redirects
+
+    rows = [
+        ("a", "html-a", 200, None),
+        ("r1", None, 301, "a"),          # 1 hop
+        ("r2", None, 302, "r1"),         # 2 hops via r1
+        ("r3", None, 301, "r4"),         # chain of 4 → over cap
+        ("r4", None, 302, "r5"),
+        ("r5", None, 301, "r6"),
+        ("r6", None, 302, "a"),
+        ("dang", None, 301, "missing"),  # dangling location
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, html string, http_status int, location string"
+    )
+    wave = pages.select("url")
+    out = {
+        r["url"]: (r["final_url"], r["html"], r["n_hops"])
+        for r in resolve_redirects(pages, wave, max_hops=3).collect()
+    }
+    assert out["a"] == ("a", "html-a", 0)
+    assert out["r1"] == ("a", "html-a", 1)
+    assert out["r2"] == ("a", "html-a", 2)
+    assert "r3" not in out  # needs 4 hops — over the cap → failed fetch
+    assert out["r4"] == ("a", "html-a", 3)
+    assert "dang" not in out
+
+
+def test_scrub_filename_twins(spark):
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.functions.canon import (
+        py_scrub_filename,
+        scrub_filename_col,
+    )
+
+    cases = ['a/b\\c:d', '*?"<>|', "clean.txt", 'x|y"z']
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [r.o for r in df.select(scrub_filename_col(F.col("s")).alias("o")).collect()]
+    assert got == [py_scrub_filename(c) for c in cases]
+    assert py_scrub_filename('a/b\\c:d') == "a~b~c~d"

@@ -106,3 +106,51 @@ def test_simhash60_df_equals_column_form(spark, sf_dir):
     }
     via_df = {r.doc_id: r.simhash60 for r in simhash60_df(docs).collect()}
     assert via_col == via_df
+
+
+def test_simhash128_matches_pure_python_reference_math(spark, sf_dir):
+    """P13: xhash.simhash128_df vs an independent pure-Python twin of
+    Simhash.java:52-92 — md5 per raw token (NO dedup, repeats vote),
+    sign bit i from hash byte i/8 bit i%8 (little-endian in the byte),
+    bit = 1 iff vote > 0, packed into four 32-bit words."""
+    import hashlib
+
+    def py_simhash128_words(tokens):
+        sign = [0] * 128
+        for tok in tokens:
+            h = hashlib.md5(tok.encode("utf-8")).digest()
+            for i in range(128):
+                sign[i] += 1 if h[i // 8] & (1 << (i % 8)) else -1
+        words = [0, 0, 0, 0]
+        for i in range(128):
+            if sign[i] > 0:
+                words[i // 32] |= 1 << (i % 32)
+        return words
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(25)
+    got = {
+        r.doc_id: [r.fp0, r.fp1, r.fp2, r.fp3]
+        for r in X.simhash128_df(docs).collect()
+    }
+    want = {
+        r.doc_id: py_simhash128_words(r.text.split(" "))
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_simhash128_votes_count_repeats():
+    """getSign iterates the raw token list — 'a a a b' must differ from
+    'a b' whenever the repeat flips a majority (unlike the deduped 60-bit
+    variant)."""
+    import hashlib
+
+    def words(tokens):
+        sign = [0] * 128
+        for tok in tokens:
+            h = hashlib.md5(tok.encode()).digest()
+            for i in range(128):
+                sign[i] += 1 if h[i // 8] & (1 << (i % 8)) else -1
+        return [sum(1 << (i % 32) for i in range(128) if sign[i] > 0 and i // 32 == k) for k in range(4)]
+
+    assert words(["a", "a", "a", "b"]) != words(["a", "b"])

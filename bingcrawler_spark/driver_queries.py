@@ -584,6 +584,58 @@ def f12_seed_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rb_parse_robots",
+    """
+    WITH s AS (SELECT s_suppkey AS k, 'h' || s_suppkey::VARCHAR || '.example' AS host
+               FROM supplier),
+    pfx AS (
+      SELECT host, '/private/' AS prefix FROM s
+      UNION ALL
+      SELECT host, '/tmp/' || k::VARCHAR FROM s WHERE k % 3 = 0),
+    agg AS (SELECT s.host, k,
+                   CASE WHEN k % 2 = 0 THEN greatest(1, 16 // (1 + k % 4))
+                        ELSE 16 END AS crawl_budget
+            FROM s)
+    SELECT a.host, p.prefix, a.crawl_budget::INT AS crawl_budget
+    FROM agg a JOIN pfx p ON a.host = p.host
+    """,
+)
+def rb_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots.txt parsing (north-rule surface): raw robots bodies — with
+    comments, foreign-agent sections, empty Disallow lines and
+    Crawl-delay — parse into the per-host rules table the crawl
+    broadcast-joins.  The parse is pure plan logic (explode + window
+    last-ignorenulls section state); the oracle computes the expected
+    rules straight from the generator's fields, so parser∘generator ==
+    identity is what goes green."""
+    from bingcrawler_spark.robots import robots_table
+
+    s = _t(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    body = F.concat(
+        F.lit("# robots for host "), k.cast("string"), F.lit("\n"),
+        F.lit("User-agent: googlebot\nDisallow: /gb\n\n"),
+        F.lit("User-agent: *\n"),
+        F.lit("Disallow: /private/   # keep out\n"),
+        F.when(k % 3 == 0, F.concat(F.lit("Disallow: /tmp/"), k.cast("string"), F.lit("\n")))
+        .otherwise(F.lit("")),
+        F.lit("Disallow:\n"),  # empty = allow-all, contributes nothing
+        F.when(k % 2 == 0, F.concat(F.lit("Crawl-delay: "), (1 + k % 4).cast("string"), F.lit("\n")))
+        .otherwise(F.lit("")),
+    )
+    texts = s.select(
+        F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    rules = robots_table(texts, default_budget=16)
+    return rules.select(
+        "host",
+        F.explode("disallow_prefixes").alias("prefix"),
+        "crawl_budget",
+    )
+
+
+@register(
     "f7_messages_merge",
     """
     WITH fr AS (

@@ -230,3 +230,53 @@ def test_scrub_filename_twins(spark):
     got = [r.o for r in df.select(scrub_filename_col(F.col("s")).alias("o")).collect()]
     assert got == [py_scrub_filename(c) for c in cases]
     assert py_scrub_filename('a/b\\c:d') == "a~b~c~d"
+
+
+def test_robots_parsed_rules_drive_the_crawl(spark):
+    """robots.txt bodies → parse_robots/robots_table → the same crawl as
+    the hand-constructed rules table (pop log identical)."""
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.robots import robots_table
+
+    # bodies that parse to synth.robots_rows: every host disallows
+    # /private/; host0's Crawl-delay 2 halves the default budget 16 -> 8
+    texts = spark.createDataFrame(
+        [
+            (
+                f"host{h}.example",
+                "User-agent: *\nDisallow: /private/\n"
+                + ("Crawl-delay: 2\n" if h == 0 else ""),
+            )
+            for h in range(H)
+        ],
+        "host string, robots_txt string",
+    )
+    rules = robots_table(texts, default_budget=16)
+    got = {
+        (r["host"], tuple(r["disallow_prefixes"]), r["crawl_budget"])
+        for r in rules.collect()
+    }
+    want = {
+        (f"host{h}.example", ("/private/",), 8 if h == 0 else 16)
+        for h in range(H)
+    }
+    assert got == want
+
+    def crawl_with(robots):
+        pages = synth_pages_df(spark, N, H)
+        eng = CrawlEngine(
+            spark,
+            SnapshotStore(spark, tempfile.mkdtemp(prefix="wh_rb_")),
+            pages,
+            robots,
+            CrawlConfig(wave_size=24, max_depth=3),
+        )
+        eng.bootstrap(seed_urls(N, H))
+        eng.run(2)
+        return [
+            (r["wave"], r["pop_rank"], r["url"])
+            for r in eng.pop_log().orderBy("wave", "pop_rank").collect()
+        ]
+
+    assert crawl_with(rules) == crawl_with(robots_df(spark, H))

@@ -80,6 +80,20 @@ def tumbling_counts(
     )
 
 
+# ----------------------------------------------------------- stream dedup
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id — dropDuplicatesWithinWatermark
+    so the dedup state store is BOUNDED by the watermark horizon (a plain
+    dropDuplicates on a stream keeps every key forever; at crawl scale
+    that state grows unboundedly).  The batch twin is a distinct on the
+    same key; stream==batch asserted in tests/test_streaming.py."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 # -------------------------------------------------------- stateful sessions
 
 SESSION_STATE_SCHEMA = "last_us LONG, n_sessions LONG, n_events LONG"

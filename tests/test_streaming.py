@@ -49,3 +49,18 @@ def test_sessionize_stream_equals_batch(spark, sf_dir, events_dir):
     batch = DQ.ev_sessionize(spark, sf_dir)
     cols = ["user_id", "n_sessions", "n_events"]
     assert _rows(final, cols) == _rows(batch, cols)
+
+
+def test_dedup_stream_equals_batch_distinct(spark, sf_dir):
+    """dedup_stream over a doubled input (every file twice) must emit each
+    event_id exactly once — equal to the batch distinct; state is bounded
+    by the watermark, not by history."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    d = tempfile.mkdtemp(prefix="ev_dups_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-1.parquet")  # dup feed
+    stream = ST.stream_events(spark, d)
+    out = ST.run_to_memory(ST.dedup_stream(stream), "t_dedup", output_mode="append")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert out.count() == batch.select("event_id").distinct().count()
+    assert out.groupBy("event_id").count().where(F.col("count") > 1).count() == 0

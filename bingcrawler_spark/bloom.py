@@ -65,24 +65,29 @@ def _params(n_items: int, fpp: float) -> tuple[int, int]:
 
 
 class ShardedBloom:
-    """Immutable sharded Bloom filter of a url column."""
+    """Sharded Bloom filter of a url column.
 
-    def __init__(self, shards: list[bytes], m_bits: int, k: int):
+    Supports INCREMENTAL growth (`add_df`): the crawl's existing-url set
+    (frontier ∪ seen) only ever grows by each wave's new rows, so the
+    engine builds the filter once and ORs in the O(wave)-sized delta per
+    wave instead of re-scanning the O(state) seen-set — the per-wave-cost
+    invariant holds for the prefilter too.  `capacity` records the sizing
+    assumption; the caller rebuilds (amortized, on doubling) when the
+    inserted count outgrows it, restoring the target fpp."""
+
+    def __init__(self, shards: list[bytes], m_bits: int, k: int, capacity: int = 0):
         self.shards = shards
         self.n_shards = len(shards)
         self.m_bits = m_bits
         self.k = k
+        self.capacity = capacity
 
     @staticmethod
-    def build(
-        df: DataFrame,
-        col: str,
-        expected_items: int,
-        fpp: float = 0.01,
-        n_shards: int = 4,
-    ) -> "ShardedBloom":
-        m_bits, k = _params(max(expected_items // n_shards, 1), fpp)
-        n_bytes = m_bits // 8
+    def _partial_bitmaps(
+        df: DataFrame, col: str, n_shards: int, n_bytes: int, m_bits: int, k: int
+    ) -> list:
+        """Distributed bitmap build: one partial per partition per shard,
+        OR-merged driver-side (bitmaps cross the wire, never rows)."""
 
         def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             bitmaps = np.zeros((n_shards, n_bytes), dtype=np.uint8)
@@ -100,7 +105,6 @@ class ShardedBloom:
                     bit = np.left_shift(
                         np.uint8(1), (idx & np.uint64(7)).astype(np.uint8)
                     )
-                    # np.add.at-style scatter with OR, grouped per shard
                     for s in range(n_shards):
                         sel = shard == s
                         if sel.any():
@@ -110,16 +114,49 @@ class ShardedBloom:
                     {"shard": range(n_shards), "bitmap": [b.tobytes() for b in bitmaps]}
                 )
 
-        parts = df.select(col).mapInPandas(
-            partial, T.StructType([
-                T.StructField("shard", T.IntegerType()),
-                T.StructField("bitmap", T.BinaryType()),
-            ])
+        return df.select(col).mapInPandas(
+            partial,
+            T.StructType(
+                [
+                    T.StructField("shard", T.IntegerType()),
+                    T.StructField("bitmap", T.BinaryType()),
+                ]
+            ),
         ).collect()
+
+    def add_df(self, df: DataFrame, col: str) -> None:
+        """OR a delta of urls into the existing bitmaps — O(delta) work,
+        same hash family, no resize (caller manages capacity)."""
+        n_bytes = self.m_bits // 8
+        parts = self._partial_bitmaps(
+            df, col, self.n_shards, n_bytes, self.m_bits, self.k
+        )
+        if not parts:
+            return
+        shards = [
+            np.frombuffer(b, dtype=np.uint8).copy() for b in self.shards
+        ]
+        for row in parts:
+            shards[row["shard"]] |= np.frombuffer(row["bitmap"], dtype=np.uint8)
+        self.shards = [s.tobytes() for s in shards]
+
+    @staticmethod
+    def build(
+        df: DataFrame,
+        col: str,
+        expected_items: int,
+        fpp: float = 0.01,
+        n_shards: int = 4,
+    ) -> "ShardedBloom":
+        m_bits, k = _params(max(expected_items // n_shards, 1), fpp)
+        n_bytes = m_bits // 8
+        parts = ShardedBloom._partial_bitmaps(df, col, n_shards, n_bytes, m_bits, k)
         shards = [np.zeros(n_bytes, dtype=np.uint8) for _ in range(n_shards)]
         for row in parts:
             shards[row["shard"]] |= np.frombuffer(row["bitmap"], dtype=np.uint8)
-        return ShardedBloom([s.tobytes() for s in shards], m_bits, k)
+        return ShardedBloom(
+            [s.tobytes() for s in shards], m_bits, k, capacity=expected_items
+        )
 
     # -- membership test ----------------------------------------------------
     def might_contain_udf(self) -> "F.pandas_udf":

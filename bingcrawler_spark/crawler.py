@@ -204,6 +204,11 @@ class CrawlEngine:
         self.robots = robots
         self.cfg = config or CrawlConfig()
         self._sizes: dict[str, int] | None = None  # {"frontier": n, "seen": n}
+        # incremental bloom state: built once (or on resume), then each
+        # wave ORs in only its new-url delta; rebuilt when the inserted
+        # count outgrows capacity (amortized doubling)
+        self._bloom: ShardedBloom | None = None
+        self._bloom_items: int = 0
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, int]]) -> None:
@@ -369,11 +374,22 @@ class CrawlEngine:
 
         bloom = None
         if self.cfg.use_bloom:
-            existing = frontier_rest.select("url").unionByName(seen_now.select("url"))
-            est = max(sizes["frontier"] + sizes["seen"] + n_popped + 1000, 1)
-            bloom = ShardedBloom.build(
-                existing, "url", est, self.cfg.bloom_fpp, self.cfg.bloom_shards
-            )
+            # incremental: frontier ∪ seen only ever GROWS by each wave's
+            # new rows, so the filter is built once (first wave / resume /
+            # capacity overflow — amortized O(state) on doubling) and then
+            # extended with O(wave) deltas below — never an O(state)
+            # re-scan per wave
+            n_existing = sizes["frontier"] + sizes["seen"]
+            if self._bloom is None or self._bloom_items > self._bloom.capacity:
+                existing = frontier_rest.select("url").unionByName(
+                    seen_now.select("url")
+                )
+                est = max(2 * n_existing + 1000, 1)
+                self._bloom = ShardedBloom.build(
+                    existing, "url", est, self.cfg.bloom_fpp, self.cfg.bloom_shards
+                )
+                self._bloom_items = n_existing
+            bloom = self._bloom
 
         new_rows, edges = FR.dedup_insert(
             cand,
@@ -409,6 +425,17 @@ class CrawlEngine:
         # lineage sizes: pure arithmetic — never an O(state) recount
         sizes["seen"] += int(n_popped)
         sizes["frontier"] = sizes["frontier"] - int(n_popped) + int(n_new)
+
+        # bloom delta: OR in ONLY this wave's new urls (read back from the
+        # committed snapshot — a bounded-frontier scan, no shuffle)
+        if self.cfg.use_bloom and self._bloom is not None and n_new > 0:
+            self._bloom.add_df(
+                self.store.read("frontier")
+                .where(F.col("discovery_wave") == wave)
+                .select("url"),
+                "url",
+            )
+            self._bloom_items += int(n_new)
         # per-partition lineage (north rule): how balanced is the frontier
         # across its partitions after the salted repartition?  Read from
         # the committed snapshot's parquet FOOTERS (one row-count per file

@@ -185,6 +185,12 @@ class CrawlConfig:
     # pages table carries http_status/location columns
     follow_redirects: bool = True
     max_redirect_hops: int = 3
+    # append-table compaction cadence: every Nth wave the seen/ref_edges
+    # delta is written as a full OVERWRITE snapshot instead of an append,
+    # bounding read amplification (a W-wave crawl otherwise unions W delta
+    # dirs).  Amortized cost O(state/N) per wave; 0 disables.  The Iceberg
+    # analogue is rewrite_data_files maintenance.
+    compact_every: int = 64
 
 
 class CrawlEngine:
@@ -457,6 +463,20 @@ class CrawlEngine:
         top.unpersist()
         parsed.unpersist()
         cand.unpersist()
+
+        # append-table compaction (Iceberg rewrite_data_files analogue):
+        # every Nth wave, fold the accumulated deltas into one overwrite
+        # snapshot so `read` unions O(n_partitions) files instead of O(W)
+        # delta dirs.  Runs AFTER the wave's own reads/writes — the write
+        # completes before _expire retires the now-dead delta dirs, so no
+        # in-flight plan reads a deleted file.  Amortized O(state/N)/wave.
+        if self.cfg.compact_every and wave % self.cfg.compact_every == 0:
+            for t in ("seen", "ref_edges"):
+                self.store.commit(
+                    t,
+                    self.store.read(t).repartition(self.cfg.n_partitions),
+                    wave,
+                )
         row["done"] = False
         return row
 

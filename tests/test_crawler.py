@@ -280,3 +280,35 @@ def test_robots_parsed_rules_drive_the_crawl(spark):
         ]
 
     assert crawl_with(rules) == crawl_with(robots_df(spark, H))
+
+
+def test_compaction_waves_identical_state(spark):
+    """compact_every folds append deltas into overwrite snapshots without
+    changing ANY state — and bounds the live snapshot count."""
+    def run(compact_every):
+        pages = synth_pages_df(spark, N, H)
+        eng = CrawlEngine(
+            spark,
+            SnapshotStore(spark, tempfile.mkdtemp(prefix="wh_cmp_")),
+            pages,
+            robots_df(spark, H),
+            CrawlConfig(wave_size=10, max_depth=3, compact_every=compact_every),
+        )
+        eng.bootstrap(seed_urls(N, H))
+        eng.run(4)
+        return eng
+
+    a, b = run(0), run(2)
+    key = lambda df: {  # noqa: E731
+        (r["url"], r["weight"], r["depth"], r["status"], tuple(r["referrers"]))
+        for r in df.collect()
+    }
+    assert key(a.seen()) == key(b.seen())
+    ka = lambda df: {(r["url"], r["weight"]) for r in df.collect()}  # noqa: E731
+    assert ka(a.frontier()) == ka(b.frontier())
+    # compacted table's live set is the last overwrite + later appends only
+    man = b.store.manifest("seen")
+    modes = [s["mode"] for s in man["snapshots"]]
+    assert "overwrite" in modes  # compaction actually happened
+    live = b.store._live_ids(man)
+    assert len(live) <= 3  # overwrite at wave 4 + nothing after

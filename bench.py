@@ -82,7 +82,11 @@ def load_prev_bench() -> tuple[str, dict] | None:
         return None
     try:
         with open(cands[-1]) as f:
-            return cands[-1], json.load(f)
+            data = json.load(f)
+        # the driver wraps the bench line under "parsed"
+        if "queries" not in data and isinstance(data.get("parsed"), dict):
+            data = data["parsed"]
+        return cands[-1], data
     except Exception:
         return None
 

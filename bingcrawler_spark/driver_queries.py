@@ -161,7 +161,11 @@ def _render_profile_html_udf(fields: pd.DataFrame) -> pd.Series:
 
 def _parsed_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → render → P8 parse → nested Profile structs."""
-    fields = _doc_profile_fields(spark, sf_dir)
+    # the documents table is one small parquet file → 1-2 scan partitions;
+    # spread the render+parse UDF chain across every core first
+    fields = _doc_profile_fields(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return fields.select(
         F.col("profile_id"),
         BP.parse_profile_udf(

@@ -310,6 +310,17 @@ def write_bench_md(result: dict) -> None:
             f"| full wave loop incl. snapshot commits | {sc['n']['urls_per_sec']} urls/s | "
             f"{sc['x4']['urls_per_sec']} urls/s | {sc['efficiency_full_engine']} |",
             "",
+            "",
+            "Per-rep (N, 4N) throughputs — the reported row is the MEDIAN-"
+            "efficiency pair; the spread shows the shared-host noise:",
+            "",
+            "| job | rep efficiencies |",
+            "|---|---|",
+            *[
+                f"| {job} | {', '.join(str(p['eff']) for p in prs)} |"
+                for job, prs in (sc.get("rep_pairs") or {}).items()
+            ],
+            "",
             f"**Engine efficiency normalized to the hardware ceiling** "
             f"(what the engine achieves of what this shared host allows a "
             f"perfectly-parallel framework-free job): "
@@ -354,18 +365,21 @@ def main() -> None:
     from bingcrawler_spark import driver_queries as DQ
     from bingcrawler_spark.session import get_spark
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+    scaling_only = bool(os.environ.get("SPARK_GRAFT_SCALING_ONLY"))
     qtimes: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = DQ.QUERIES[name]
-        t0 = time.time()
-        n = fn(spark, SF_DIR).count()
-        qtimes[name] = round(time.time() - t0, 2)
-        # release caches a query persisted for its own multi-consumer plans
-        # (minhash signature base, r12 fingerprints) between queries
-        spark.catalog.clearCache()
-    crawl = run_crawl(spark)
-    spark.stop()
+    crawl: dict = {}
+    if not scaling_only:
+        spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+        for name in HEADLINE:
+            fn = DQ.QUERIES[name]
+            t0 = time.time()
+            n = fn(spark, SF_DIR).count()
+            qtimes[name] = round(time.time() - t0, 2)
+            # release caches a query persisted for its own multi-consumer
+            # plans (minhash signature base, r12 fingerprints)
+            spark.catalog.clearCache()
+        crawl = run_crawl(spark)
+        spark.stop()
 
     scaling = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SCALING"):
@@ -375,19 +389,29 @@ def main() -> None:
         # noise at both levels and measures the engine, not the neighbors.
         n_cores = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
         x4_cores = 4 * n_cores
-        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+        reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
         factor = x4_cores / n_cores
 
+        all_pairs: dict[str, list] = {}
+
         def best_pair(job: str, key: str) -> tuple[dict, dict]:
-            # shared sandbox host: external load drifts over minutes, so an
-            # N run and a 4N run measured far apart see different machines.
-            # Each rep runs the (N, 4N) pair back-to-back and the pair with
-            # the highest efficiency — the least contention-skewed — wins.
+            # shared sandbox host: external load drifts over minutes and can
+            # depress EITHER side of a pair, so no single rep is trustable.
+            # Each rep runs the (N, 4N) pair back-to-back; the reported pair
+            # is the MEDIAN by efficiency (lower-middle when reps is even) —
+            # a symmetric, outlier-robust choice that neither inflates (a
+            # contended N) nor deflates (a contended 4N) the ratio.  Every
+            # rep's throughputs land in rep_pairs for audit.
             pairs = [
                 (spawn_worker(n_cores, job), spawn_worker(x4_cores, job))
                 for _ in range(reps)
             ]
-            return max(pairs, key=lambda p: p[1][key] / p[0][key])
+            all_pairs[job] = [
+                {"n": p[0][key], "x4": p[1][key], "eff": round(p[1][key] / p[0][key] / factor, 3)}
+                for p in pairs
+            ]
+            ordered = sorted(pairs, key=lambda p: p[1][key] / p[0][key])
+            return ordered[(len(ordered) - 1) // 2]
 
         w_n, w_4n = best_pair("crawl", "urls_per_sec")
         w_n["parse_stage"], w_4n["parse_stage"] = best_pair("parse", "pages_per_sec")
@@ -395,6 +419,7 @@ def main() -> None:
         scaling = {
             "cores_n": n_cores,
             "cores_4n": x4_cores,
+            "rep_pairs": all_pairs,
             "n": w_n,
             "x4": w_4n,
             "efficiency_full_engine": round(
@@ -437,6 +462,9 @@ def main() -> None:
         "crawl": crawl,
         "scaling": scaling,
     }
+    if scaling_only:  # iteration mode: don't clobber BENCH/BASELINE.md
+        print(json.dumps({"scaling": scaling}))
+        return
     result["vs_prev"] = diff_vs_prev(result)
     write_bench_md(result)
     print(json.dumps(result))

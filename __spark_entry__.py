@@ -6,9 +6,11 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 value-hash → CORRECTNESS_r{N}.json).
 
 The catalog lives in :mod:`bingcrawler_spark.driver_queries` — one entry
-per implemented operator from SURVEY.md §2 plus the training-data pipeline
-operators (dedup / similarity / text-stats / multimodal / event windows).
-Entries without an oracle (crawl_3waves, p12_simhash64) are the genuinely
+per implemented operator from SURVEY.md §2 (frontier algebra, sources
+incl. S4 redirects, parsers incl. the P7/P8 DOM walkers, analytics,
+robots parsing) plus the training-data pipeline operators (dedup /
+similarity / text-stats / multimodal / event windows).  Entries without
+an oracle (crawl_3waves, p12_simhash64) are the genuinely
 non-SQL-expressible ops — the wave loop and the Python-2-hash-clone
 SimHash — checked instead by tests/test_parity.py and tests/test_simhash.py.
 """

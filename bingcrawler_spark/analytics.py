@@ -344,7 +344,14 @@ def counters(profiles: DataFrame, seen: DataFrame | None = None) -> DataFrame:
 def search_gate(candidates: DataFrame, expected: DataFrame) -> DataFrame:
     """R16 (BingParser.java:211-244): accept a candidate profile iff its
     40-char case-insensitive title prefix matches the expected title OR any
-    expected author appears in the candidate's authors."""
+    expected author appears in the candidate's authors.
+
+    The OR of two non-equi conditions would plan as a nested-loop join;
+    instead each disjunct is its own EQUI-join — (1) on the computed
+    40-char prefix key, (2) on exploded author — unioned and de-duplicated
+    on the (cand, exp) pair.  Equivalent result set (titles are unique per
+    profile), and both sides scale: shuffles on prefix/author keys instead
+    of candidates × expected pairs."""
     c = candidates.select(
         F.col("title").alias("cand_title"), F.col("authors").alias("cand_authors")
     )
@@ -352,7 +359,12 @@ def search_gate(candidates: DataFrame, expected: DataFrame) -> DataFrame:
         F.col("title").alias("exp_title"), F.col("authors").alias("exp_authors")
     )
     prefix = lambda col: F.lower(F.substring(col, 1, 40))  # noqa: E731
-    gate = (prefix(F.col("cand_title")) == prefix(F.col("exp_title"))) | F.arrays_overlap(
-        "cand_authors", "exp_authors"
+    by_title = c.join(
+        e, prefix(F.col("cand_title")) == prefix(F.col("exp_title"))
+    ).select("cand_title", "exp_title")
+    ca = c.select("cand_title", F.explode("cand_authors").alias("_a"))
+    ea = e.select("exp_title", F.explode("exp_authors").alias("_a"))
+    by_author = ca.join(ea, "_a").select("cand_title", "exp_title")
+    return by_title.unionByName(by_author).dropDuplicates(
+        ["cand_title", "exp_title"]
     )
-    return c.crossJoin(F.broadcast(e)).where(gate).select("cand_title", "exp_title")

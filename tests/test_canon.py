@@ -93,3 +93,56 @@ def test_f7_merge_messages(spark):
     assert out["u1"] == {"a": "1", "b": "20", "c": "3"}
     assert out["u2"] == {"k": "v"}
     assert out["u3"] == {"x": "9"}
+
+
+# ------------------------------------------------------- property fuzzing
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_CHARS = st.text(
+    alphabet=st.sampled_from(list('abcxyz09/:.#?&=%~*<>|"\\_- é学')),
+    min_size=0,
+    max_size=30,
+)
+# splice in multi-char fragments the parsers special-case
+_URLISH = st.builds(
+    lambda a, frag, b: a + frag + b,
+    _CHARS,
+    st.sampled_from(["", "&amp;", "&lt;", "http://", "#frag", "//"]),
+    _CHARS,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(_URLISH, min_size=1, max_size=25))
+def test_column_twins_equal_python_on_fuzz(spark, raws):
+    """The JVM column implementations and the pure-Python scalar twins
+    (used by the oracle and the parity suite) must agree on ARBITRARY
+    strings, not just the curated vectors — canon (P1), host (P2),
+    entity unescape (P3), filename scrub (P15)."""
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.functions.canon import (
+        canon_url_col,
+        host_name_col,
+        py_canon_url,
+        py_host_name,
+        py_scrub_filename,
+        py_unescape_entities,
+        scrub_filename_col,
+        unescape_entities_col,
+    )
+
+    df = spark.createDataFrame([(s,) for s in raws], "s string")
+    got = df.select(
+        F.col("s"),
+        canon_url_col(F.col("s")).alias("canon"),
+        host_name_col(F.col("s")).alias("host"),
+        unescape_entities_col(F.col("s")).alias("ent"),
+        scrub_filename_col(F.col("s")).alias("scrub"),
+    ).collect()
+    for r in got:
+        assert r["canon"] == py_canon_url(r["s"]), r["s"]
+        assert r["host"] == py_host_name(r["s"]), r["s"]
+        assert r["ent"] == py_unescape_entities(r["s"]), r["s"]
+        assert r["scrub"] == py_scrub_filename(r["s"]), r["s"]

@@ -29,6 +29,7 @@ from bingcrawler_spark import analytics as A
 from bingcrawler_spark import frontier as FR
 from bingcrawler_spark import xhash as X
 from bingcrawler_spark.functions import bingparse as BP
+from bingcrawler_spark.functions import tenderparse as TP
 from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
 from bingcrawler_spark.dataops import similarity as SIM
@@ -1135,6 +1136,297 @@ def p12_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     reimplementation (tests/test_simhash.py), rows-only here."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", simhash64_udf(F.col("text")).alias("simhash64"))
+
+
+# ---------------------------------------------------------------- P9
+# Tender-vertical pipeline: render the three page shapes from document
+# columns, classify by URL, parse each with the real TenderParser twins,
+# and gate search candidates with the simhash128 + token filter.  The
+# oracle computes the expected frontier actions straight from the document
+# columns — a green hash certifies classifier + all three parsers + the
+# gate + the wd= url codec round-trip.
+
+_P9_HAM_SQL = (
+    "(bit_count(xor(t.fp0, l.fp0)) + bit_count(xor(t.fp1, l.fp1))"
+    " + bit_count(xor(t.fp2, l.fp2)) + bit_count(xor(t.fp3, l.fp3)))"
+)
+
+_P9_SQL = f"""
+    WITH f AS (
+      SELECT doc_id AS did,
+             'tender-' || doc_id::VARCHAR || ' ' ||
+               array_to_string(__T[1 : 1 + (doc_id % 4)::INT], ' ') AS title,
+             array_to_string(__T[6:8], ' ') AS alt3,
+             __T[7] AS extra
+      FROM documents),
+    urls AS (
+      SELECT did, title, alt3, extra,
+             'http://www.chinazbcgou.com.cn/display.php?id=' || did::VARCHAR
+               AS display_url,
+             'https://www.baidu.com/baidu?wd=' || replace(title, ' ', '%20')
+               AS search_url
+      FROM f),
+    cand AS (
+      SELECT search_url, title,
+             'http://result.example/' || did::VARCHAR || '/0' AS href,
+             title AS ltext FROM urls
+      UNION ALL
+      SELECT search_url, title,
+             'http://result.example/' || did::VARCHAR || '/1',
+             title || ' ' || extra FROM urls
+      UNION ALL
+      SELECT search_url, title,
+             'http://result.example/' || did::VARCHAR || '/2',
+             alt3 FROM urls),
+    strings AS (SELECT DISTINCT title AS s FROM urls
+                UNION SELECT DISTINCT ltext FROM cand),
+    fp AS MATERIALIZED (
+      SELECT * FROM {{FP}}),
+    gated AS (
+      SELECT c.search_url, c.title, c.href
+      FROM cand c JOIN fp t ON t.s = c.title JOIN fp l ON l.s = c.ltext
+      WHERE {_P9_HAM_SQL} <= 60 AND len(string_split(c.ltext, ' ')) >= 3),
+    out_rows AS (
+      SELECT 'http://www.chinazbcgou.com.cn' AS src_url, 'home' AS page_type,
+             'put_url' AS action, display_url AS out_url, 100 AS weight,
+             NULL::VARCHAR AS msg_title
+      FROM urls WHERE did < 200
+      UNION ALL
+      SELECT 'http://www.chinazbcgou.com.cn', 'home', 'put_url',
+             'http://www.chinazbcgou.com.cn/displayXphp?id=7', 100, NULL
+      UNION ALL
+      SELECT 'http://www.chinazbcgou.com.cn', 'home', 'set_weight',
+             'http://www.chinazbcgou.com.cn', 90, NULL
+      UNION ALL
+      SELECT display_url, 'display', 'demote', display_url, -1, NULL FROM urls
+      UNION ALL
+      SELECT display_url, 'display', 'put_url', search_url, 101, NULL FROM urls
+      UNION ALL
+      SELECT search_url, 'search', 'demote', search_url, -1, NULL FROM urls
+      UNION ALL
+      SELECT search_url, 'search', 'put_url', href, 101, title FROM gated
+      UNION ALL
+      SELECT 'http://other.example/x', 'other', 'demote',
+             'http://other.example/x', -1, NULL)
+    SELECT src_url, page_type, action, out_url, weight::INT AS weight,
+           msg_title
+    FROM out_rows
+""".replace("__T", "(string_split(text, ' '))").replace(
+    "{FP}", X.simhash128_cte_sql("SELECT s FROM strings", id_col="s", text_col="s")
+)
+
+
+@F.pandas_udf(T.StringType())
+def _render_tender_home_udf(items: pd.Series) -> pd.Series:
+    from bingcrawler_spark.synth import tender_home_html
+
+    return items.map(
+        lambda its: tender_home_html([(it["did"], it["title"]) for it in its])
+    )
+
+
+@F.pandas_udf(T.StringType())
+def _render_tender_display_udf(title: pd.Series) -> pd.Series:
+    from bingcrawler_spark.synth import tender_display_html
+
+    return title.map(tender_display_html)
+
+
+@F.pandas_udf(T.StringType())
+def _render_tender_search_udf(cands: pd.Series) -> pd.Series:
+    from bingcrawler_spark.synth import tender_search_html
+
+    return cands.map(
+        lambda cs: tender_search_html([(c["href"], c["text"]) for c in cs])
+    )
+
+
+def _p9_out(src, ptype, action, out_url, weight, msg) -> list[Column]:
+    return [
+        src.alias("src_url"),
+        ptype.alias("page_type"),
+        F.lit(action).alias("action"),
+        out_url.alias("out_url"),
+        weight.cast("int").alias("weight"),
+        msg.cast("string").alias("msg_title"),
+    ]
+
+
+@register("p9_tender_pipeline", _P9_SQL)
+def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 (TenderParser.java:64-453): the second-vertical crawl chain as one
+    batch plan.  Documents → render home/display/search tender pages →
+    classify by URL (:386-453) → parse each type with the jsoup-walk twins
+    (functions.tenderparse) → home emits display links at weight 100 plus
+    its own set_weight 90 (:330-345, :310); display pages demote themselves
+    and emit the baidu search url built from the parsed <title> (:239-292);
+    search pages recover the query title from their own wd= parameter
+    (:144-154), parse result containers, and gate candidates with
+    hamming(simhash128) <= 60 AND tokens >= 3 (:209-213) before inserting
+    at weight 101 with the title message (:214-227).  Fingerprints are
+    computed ONCE per distinct string and equi-joined back — the gate is a
+    join, not a per-pair UDF, so the shape survives scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    did = F.col("doc_id")
+    fields = d.select(
+        did.alias("did"),
+        F.concat(
+            F.lit("tender-"),
+            did.cast("string"),
+            F.lit(" "),
+            F.concat_ws(" ", F.slice(toks, 1, (did % 4 + 1).cast("int"))),
+        ).alias("title"),
+        F.concat_ws(" ", F.slice(toks, 6, 3)).alias("alt3"),
+        F.element_at(toks, 7).alias("extra"),
+    ).repartition(spark.sparkContext.defaultParallelism)  # one small parquet
+    # file → 1 scan partition; spread the render+parse UDF chain first
+    home_url = TP.URL_TENDER_HOMEPAGE
+    # ---- render the three page shapes (url, html)
+    home = (
+        fields.where(F.col("did") < 200)
+        .select(F.struct("did", "title").alias("it"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list("it")).alias("items"))
+        .select(
+            F.lit(home_url).alias("url"),
+            _render_tender_home_udf(F.col("items")).alias("html"),
+        )
+    )
+    disp = fields.select(
+        F.concat(
+            F.lit(home_url + "/display.php?id="), F.col("did").cast("string")
+        ).alias("url"),
+        _render_tender_display_udf(F.col("title")).alias("html"),
+    )
+    cand_structs = F.array(
+        *[
+            F.struct(
+                F.concat(
+                    F.lit("http://result.example/"),
+                    F.col("did").cast("string"),
+                    F.lit(f"/{i}"),
+                ).alias("href"),
+                txt.alias("text"),
+            )
+            for i, txt in enumerate(
+                [
+                    F.col("title"),
+                    F.concat(F.col("title"), F.lit(" "), F.col("extra")),
+                    F.col("alt3"),
+                ]
+            )
+        ]
+    )
+    srch = fields.select(
+        F.concat(
+            F.lit(TP.URL_SEARCH_ENGINE + "?wd="),
+            F.regexp_replace("title", " ", "%20"),
+        ).alias("url"),
+        _render_tender_search_udf(cand_structs).alias("html"),
+    )
+    noise = spark.createDataFrame(
+        [("http://other.example/x", "<html><body>nothing</body></html>")],
+        "url string, html string",
+    )
+    pages = (
+        home.unionByName(disp)
+        .unionByName(srch)
+        .unionByName(noise)
+        .withColumn("ptype", TP.classify_url_col(F.col("url")))
+    )
+    pt = F.col("ptype")
+    # ---- home: display links (100) + self set_weight HOME_PAGE_WEIGHT
+    home_links = pages.where(pt == "home").select(
+        "url", "ptype", F.explode(TP.parse_home_links_udf("html")).alias("l")
+    )
+    home_out = home_links.select(
+        *_p9_out(F.col("url"), F.col("ptype"), "put_url", F.col("l.href"),
+                 F.lit(TP.DEFAULT_WEIGHT), F.lit(None))
+    ).unionByName(
+        pages.where(pt == "home").select(
+            *_p9_out(F.col("url"), F.col("ptype"), "set_weight", F.col("url"),
+                     F.lit(TP.HOME_PAGE_WEIGHT), F.lit(None))
+        )
+    )
+    # ---- display: self-demote + search url from the parsed title
+    # branch fan-out below reads each parsed set 2-4 times (demote + put
+    # branches, strings/fp + gate joins) — persist so the render+parse UDF
+    # chain runs once per page, not once per consumer
+    disp_pages = pages.where(pt == "display").select(
+        "url", "ptype", TP.parse_display_title_udf("html").alias("t")
+    ).persist()
+    disp_out = disp_pages.select(
+        *_p9_out(F.col("url"), F.col("ptype"), "demote", F.col("url"),
+                 F.lit(-1), F.lit(None))
+    ).unionByName(
+        disp_pages.where(F.col("t").isNotNull()).select(
+            *_p9_out(
+                F.col("url"),
+                F.col("ptype"),
+                "put_url",
+                F.concat(
+                    F.lit(TP.URL_SEARCH_ENGINE + "?wd="),
+                    TP.query_encode_udf(F.col("t")),
+                ),
+                F.lit(TP.DEFAULT_WEIGHT + 1),
+                F.lit(None),
+            )
+        )
+    )
+    # ---- search: self-demote + gated result links
+    srch_pages = pages.where(pt == "search").select(
+        "url",
+        "ptype",
+        TP.query_decode_udf(F.regexp_extract("url", "wd=(.*)$", 1)).alias("title"),
+        TP.parse_search_candidates_udf("html").alias("cands"),
+    ).persist()
+    cand = srch_pages.select(
+        "url",
+        "ptype",
+        "title",
+        F.explode("cands").alias("c"),
+    ).select(
+        "url", "ptype", "title",
+        F.col("c.href").alias("href"), F.col("c.text").alias("ltext"),
+    )
+    strings = (
+        cand.select(F.col("title").alias("s"))
+        .union(cand.select(F.col("ltext")))
+        .distinct()
+    )
+    fp = X.simhash128_df(strings, id_col="s", text_col="s").persist()
+    fp_t = fp.select(
+        F.col("s").alias("title"), *[F.col(f"fp{k}").alias(f"t{k}") for k in range(4)]
+    )
+    fp_l = fp.select(
+        F.col("s").alias("ltext"), *[F.col(f"fp{k}").alias(f"l{k}") for k in range(4)]
+    )
+    ham = sum(
+        F.bit_count(F.col(f"t{k}").bitwiseXOR(F.col(f"l{k}"))) for k in range(4)
+    )
+    gated = (
+        cand.join(fp_t, "title")
+        .join(fp_l, "ltext")
+        .where(
+            (ham <= TP.MAX_HAMMING_DISTANCE)
+            & (F.size(F.split("ltext", " ")) >= TP.MIN_TOKEN_SIZE)
+        )
+    )
+    srch_out = srch_pages.select(
+        *_p9_out(F.col("url"), F.col("ptype"), "demote", F.col("url"),
+                 F.lit(-1), F.lit(None))
+    ).unionByName(
+        gated.select(
+            *_p9_out(F.col("url"), F.col("ptype"), "put_url", F.col("href"),
+                     F.lit(TP.DEFAULT_WEIGHT + 1), F.col("title"))
+        )
+    )
+    other_out = pages.where(pt == "other").select(
+        *_p9_out(F.col("url"), F.col("ptype"), "demote", F.col("url"),
+                 F.lit(-1), F.lit(None))
+    )
+    return home_out.unionByName(disp_out).unionByName(srch_out).unionByName(other_out)
 
 
 # =====================================================================

@@ -479,3 +479,66 @@ def synth_profiles_df(spark: SparkSession, n_profiles: int, partitions: int | No
 
     rng = spark.range(0, n_profiles, 1, partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, PROFILES_SCHEMA)
+
+
+# --------------------------------------------- Tender-vertical page HTML (P9)
+# Deterministic generators for the TenderParser parsers (TenderParser.java
+# :191-232, :239-292, :299-352): parse(generate(fields)) == fields is the
+# round-trip the p9 driver oracle checks.  Each generator includes the
+# noise the parser must reject, so a green hash proves the rejections too.
+
+TENDER_HOME_URL = "http://www.chinazbcgou.com.cn"
+TENDER_TITLE_SUFFIX = "_中国招投标采购网 官网"  # Setting.java:56
+
+
+def tender_home_html(items: list[tuple[int, str]]) -> str:
+    """items: [(display_id, link_text)] → the tender home page.  The
+    parser (TenderParser.java:330-345) keeps a[href] anchors with
+    non-empty href+text whose href FULL-matches ``display.php\\?id=(.*)``.
+    Noise: an off-pattern absolute link, an empty-text display link
+    (dropped at :334), and a 'displayXphp' anchor exercising the
+    unescaped-dot quirk of PATTERN_DISPLAY (Setting.java:58 — kept)."""
+    links = "".join(f'<a href="display.php?id={i}">{t}</a>' for i, t in items)
+    return (
+        "<html><body><div>"
+        + links
+        + '<a href="http://other.example/about">about us</a>'
+        + '<a href="display.php?id=999999"></a>'
+        + '<a href="displayXphp?id=7">quirk row</a>'
+        + "</div></body></html>"
+    )
+
+
+def tender_display_html(title: str) -> str:
+    """Display page: <title> carries the tender title + the site suffix the
+    parser strips (TenderParser.java:254-255)."""
+    return (
+        f"<html><head><title>{title}{TENDER_TITLE_SUFFIX}</title></head>"
+        f'<body><div class="content">{title}</div></body></html>'
+    )
+
+
+def tender_search_html(cands: list[tuple[str, str]]) -> str:
+    """cands: [(href, link_text)] → baidu-shaped search page
+    (div#content_left → div.result.c-container → first a[href],
+    TenderParser.java:197-203).  Each container carries a SECOND anchor to
+    prove only the first is read; noise containers: a 百度快照 snapshot link
+    (excluded by prefix :205), an empty-text anchor (:205), a non-result
+    div, and an off-content_left ad block."""
+    divs = "".join(
+        f'<div class="result c-container"><a href="{h}">{t}</a>'
+        f'<a href="http://second.example/ignored">second</a></div>'
+        for h, t in cands
+    )
+    noise = (
+        '<div class="result c-container">'
+        '<a href="http://cache.example/snap">百度快照</a></div>'
+        '<div class="result c-container">'
+        '<a href="http://empty.example/e"></a></div>'
+        '<div class="other-block"><a href="http://not-a-result.example/x">skip</a></div>'
+    )
+    return (
+        '<html><body><div id="content_left">' + divs + noise + "</div>"
+        '<div id="content_right"><a href="http://ad.example/a">ad</a></div>'
+        "</body></html>"
+    )

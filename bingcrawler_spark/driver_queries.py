@@ -2043,6 +2043,81 @@ def s6_download_first_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- S7
+# PDF text extraction: documents → line-wrapped text → written as REAL
+# single-page PDFs (functions.pdftext.synth_pdf_bytes, full xref/trailer
+# structure) → extracted back with the from-scratch content-stream parser
+# → fingerprinted like ProfileSimHashTask does.  The oracle rebuilds the
+# expected text straight from the document columns, so a green hash
+# certifies writer∘parser == identity on real file bytes — including the
+# escape alphabet ((), backslash) and all three show-operator forms, which
+# rotate by doc_id without changing the text.
+
+_S7_ESC_SUFFIX = " (a\\b) ()"  # literally: space ( a backslash b ) space ( )
+
+_S7_SQL = f"""
+    WITH f AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    l AS (
+      SELECT doc_id,
+             list_transform(range(((len(tk) + 7) // 8)::INT),
+               i -> array_to_string(tk[i * 8 + 1 : i * 8 + 8], ' ')) AS lines0
+      FROM f),
+    l2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+               THEN list_concat([lines0[1] || ' (a\\b) ()'], lines0[2:])
+               ELSE lines0 END AS lines
+      FROM l),
+    t AS (SELECT doc_id, len(lines)::INT AS n_lines,
+                 array_to_string(lines, chr(10)) || chr(10) AS text FROM l2)
+    SELECT doc_id, n_lines, text,
+           {X.simhash60_sql("text")} AS simhash60
+    FROM t
+"""
+
+
+@register("s7_pdf_text", _S7_SQL)
+def s7_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 (PdfBox.java:15-48 via ProfileSimHashTask.java:94-124): write
+    each document as a structurally complete one-page PDF (8 tokens per
+    text line; doc_id%5==0 rows carry parens/backslash needing string
+    escapes; doc_id%4 rotates Tj / TJ-array / quote show operators), then
+    extract the text back with the content-stream parser and fingerprint
+    it with the oracle-checkable simhash60 — the reference's pdf →
+    getText → getSimHash chain."""
+    from bingcrawler_spark.functions import pdftext as PDF
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    did = F.col("doc_id")
+    toks = F.split(F.col("text"), " ")
+    nl = F.ceil(F.size(toks) / F.lit(8)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), nl - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * 8 + 1, 8)),
+    )
+    lines = F.transform(
+        lines,
+        lambda x, i: F.when(
+            (i == 0) & (did % 5 == 0), F.concat(x, F.lit(_S7_ESC_SUFFIX))
+        ).otherwise(x),
+    )
+    base = (
+        d.select(
+            did.alias("doc_id"),
+            PDF.synth_pdf_udf(lines, (did % 4).cast("int")).alias("pdf"),
+            F.size(lines).cast("int").alias("n_lines"),
+        )
+        .select(
+            "doc_id", "n_lines", PDF.pdf_text_udf(F.col("pdf")).alias("text")
+        )
+        .persist()
+    )
+    fp = X.simhash60_df(base, id_col="doc_id", text_col="text")
+    return base.join(fp, "doc_id")
+
+
 @register(
     "p3_unescape_entities",
     """

@@ -1,0 +1,231 @@
+"""S7 — PDF text extraction (PdfBox.java:15-48, used by
+ProfileSimHashTask.java:94-124 to fingerprint downloaded paper PDFs).
+
+The reference calls PDFBox's ``PDFTextStripper.getText`` on whole files.
+This module implements the same capability for the input contract's PDF
+subset as a from-scratch extractor over the classic text-showing subset of
+ISO 32000: uncompressed content streams, ``BT``/``ET`` text objects,
+``Tj`` / ``'`` / ``TJ`` show operators, ``Td``/``TD``/``T*`` line moves,
+and full PDF string syntax (balanced parens, ``\\(`` ``\\)`` ``\\\\``
+``\\n`` ``\\r`` ``\\t`` ``\\b`` ``\\f``, octal ``\\ddd``, and
+backslash-newline continuations).  For top-to-bottom line-structured
+pages — the shape paper PDFs produced by TeX/word processors take and the
+shape the synth writer emits — the extraction matches PDFTextStripper's
+text-per-line output: one emitted line per line move, lines joined by
+newline with a trailing newline.
+
+Compressed (``/FlateDecode``) streams are out of scope of the subset and
+yield no text, matching the reference's catch-and-skip on unreadable
+files (ProfileSimHashTask.java:115-119).
+
+``synth_pdf_bytes`` is the deterministic inverse used by tests and the s7
+driver oracle: it writes a structurally complete PDF (header, catalog,
+page tree, font, content stream with correct /Length, xref with real byte
+offsets, trailer), so parse(write(lines)) == joined lines is checked
+end-to-end on real file bytes.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_OCTAL = "01234567"
+
+
+# ------------------------------------------------------------------ parser
+
+
+def _scan_content(s: str):
+    """Tokenize a decoded content stream: ('str', text), ('arr_open'|
+    'arr_close', None), ('op', token) — numbers and names come out as ops
+    and are ignored by the interpreter."""
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            i += 1
+            depth, buf = 1, []
+            while i < n and depth:
+                ch = s[i]
+                if ch == "\\":
+                    nxt = s[i + 1] if i + 1 < n else ""
+                    if nxt in "()\\":
+                        buf.append(nxt)
+                        i += 2
+                    elif nxt in "nrtbf":
+                        buf.append({"n": "\n", "r": "\r", "t": "\t",
+                                    "b": "\b", "f": "\f"}[nxt])
+                        i += 2
+                    elif nxt and nxt in _OCTAL:
+                        j = i + 1
+                        o = ""
+                        while j < n and len(o) < 3 and s[j] in _OCTAL:
+                            o += s[j]
+                            j += 1
+                        buf.append(chr(int(o, 8)))
+                        i = j
+                    elif nxt == "\n":  # line continuation
+                        i += 2
+                    else:
+                        buf.append(nxt)
+                        i += 2
+                elif ch == "(":
+                    depth += 1
+                    buf.append(ch)
+                    i += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth:
+                        buf.append(ch)
+                    i += 1
+                else:
+                    buf.append(ch)
+                    i += 1
+            yield ("str", "".join(buf))
+        elif c == "[":
+            yield ("arr_open", None)
+            i += 1
+        elif c == "]":
+            yield ("arr_close", None)
+            i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not s[j].isspace() and s[j] not in "()[]":
+                j += 1
+            yield ("op", s[i:j])
+            i = j
+
+
+def py_pdf_text(data: bytes | None) -> str | None:
+    """getText twin for the uncompressed subset: walk every content
+    stream's text operators in document order.  Unreadable input → None
+    (the reference's catch-and-continue)."""
+    if data is None:
+        return None
+    try:
+        if not data.lstrip()[:5].startswith(b"%PDF-"):
+            return None
+        lines: list[str] = []
+        cur: list[str] = []
+        for m in _STREAM_RE.finditer(data):
+            body = m.group(1).decode("latin-1")
+            last: str | None = None
+            arr: list[str] | None = None
+            for kind, val in _scan_content(body):
+                if kind == "str":
+                    if arr is not None:
+                        arr.append(val)
+                    else:
+                        last = val
+                elif kind == "arr_open":
+                    arr = []
+                elif kind == "arr_close":
+                    last = "".join(arr or [])
+                    arr = None
+                elif kind == "op":
+                    if val == "Tj":
+                        if last is not None:
+                            cur.append(last)
+                    elif val == "'":
+                        if cur:
+                            lines.append("".join(cur))
+                        cur = [last] if last is not None else []
+                    elif val == "TJ":
+                        if last is not None:
+                            cur.append(last)
+                    elif val in ("T*", "Td", "TD", "ET"):
+                        if cur:
+                            lines.append("".join(cur))
+                            cur = []
+        if cur:
+            lines.append("".join(cur))
+        return "\n".join(lines) + "\n" if lines else ""
+    except Exception:
+        return None
+
+
+# ------------------------------------------------------------------ writer
+
+
+def _esc(s: str) -> str:
+    return s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+
+
+def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
+    """Write a complete single-page PDF showing ``lines`` top-to-bottom.
+
+    ``variant`` varies WHICH show operators are exercised without changing
+    the extracted text: bit 0 set → line 1 (if present) is emitted as a
+    mid-line-split ``TJ`` array; bit 1 set → line 2 (if present) uses the
+    ``'`` (next-line-show) operator instead of ``T* ... Tj``."""
+    ops: list[str] = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
+    for i, ln in enumerate(lines):
+        use_tj = i == 1 and (variant & 1)
+        use_quote = i == 2 and (variant & 2)
+        if i == 0:
+            pass  # position already set by Td
+        elif use_quote:
+            ops.append(f"({_esc(ln)}) '")
+            continue
+        else:
+            ops.append("T*")
+        if use_tj:
+            cut = max(1, len(ln) // 2)
+            ops.append(f"[({_esc(ln[:cut])}) -12 ({_esc(ln[cut:])})] TJ")
+        else:
+            ops.append(f"({_esc(ln)}) Tj")
+    ops.append("ET")
+    content = "\n".join(ops).encode("latin-1")
+
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = []
+    for k, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{k} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += b"xref\n0 " + str(len(objs) + 1).encode() + b"\n"
+    out += b"0000000000 65535 f \n"
+    for off in offsets:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+        + b" /Root 1 0 R >>\nstartxref\n" + str(xref_at).encode()
+        + b"\n%%EOF\n"
+    )
+    return bytes(out)
+
+
+# ------------------------------------------------------------- Spark UDFs
+
+
+@F.pandas_udf(T.StringType())
+def pdf_text_udf(data: pd.Series) -> pd.Series:
+    """S7 as an Arrow-batched UDF: pdf bytes → extracted text."""
+    return data.map(py_pdf_text)
+
+
+@F.pandas_udf(T.BinaryType())
+def synth_pdf_udf(lines: pd.Series, variant: pd.Series) -> pd.Series:
+    """Deterministic pdf writer for the s7 oracle round-trip."""
+    return pd.Series(
+        [
+            synth_pdf_bytes(list(ls), int(v))
+            for ls, v in zip(lines, variant)
+        ]
+    )

@@ -1,0 +1,52 @@
+"""S7 PDF extractor tests (PdfBox.java:15-48 capability over the
+uncompressed text subset; writer∘parser identity is also oracle-checked
+end-to-end by the s7_pdf_text driver query)."""
+
+from bingcrawler_spark.functions.pdftext import py_pdf_text, synth_pdf_bytes
+
+LINES = ["alpha beta gamma", "delta (a\\b) () eps", "zeta eta", "theta"]
+
+
+def test_roundtrip_all_variants():
+    """Tj, TJ-array split, and ' (next-line-show) all extract the same
+    text; escapes for parens and backslash survive."""
+    want = "\n".join(LINES) + "\n"
+    for v in range(4):
+        assert py_pdf_text(synth_pdf_bytes(LINES, v)) == want
+
+
+def test_string_escapes():
+    """PDF string syntax: octal, \\n \\t, balanced unescaped parens, and
+    backslash-newline continuation."""
+    content = b"BT (a\\101b) Tj T* (t\\tn\\n) Tj T* ((nested)) Tj T* (co\\\nnt) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length "
+        + str(len(content)).encode()
+        + b" >> stream\n"
+        + content
+        + b"\nendstream endobj\n%%EOF"
+    )
+    assert py_pdf_text(pdf) == "aAb\nt\tn\n\n(nested)\ncont\n"
+
+
+def test_unreadable_inputs():
+    """Non-PDF bytes and None → None (the reference's catch-and-skip,
+    ProfileSimHashTask.java:115-119); a PDF with no text → ''."""
+    assert py_pdf_text(b"not a pdf") is None
+    assert py_pdf_text(None) is None
+    assert py_pdf_text(synth_pdf_bytes([])) == ""
+
+
+def test_structural_completeness():
+    """The writer emits a full file: header, 5 objects, xref whose offsets
+    actually point at the objects, trailer with root."""
+    pdf = synth_pdf_bytes(["x y"])
+    assert pdf.startswith(b"%PDF-1.4")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    xref_at = int(pdf.split(b"startxref\n")[1].split(b"\n")[0])
+    assert pdf[xref_at : xref_at + 4] == b"xref"
+    # each xref offset lands on "<k> 0 obj"
+    table = pdf[xref_at:].split(b"\n")[3:8]  # skip 'xref', '0 6', free entry
+    for k, row in enumerate(table, start=1):
+        off = int(row.split(b" ")[0])
+        assert pdf[off:].startswith(f"{k} 0 obj".encode())

@@ -188,6 +188,134 @@ def lsh_topk_sql(
     """
 
 
+# ------------------------------------------------------------------ IVF
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into n_cells
+    cells, probe the n_probe highest-cosine cells per query, exact-rank
+    within the probed cells only.
+
+    Centroids are the n_cells lowest-id corpus vectors — deterministic
+    seeding in place of trained k-means so the oracle replicates cell
+    assignment exactly; the plumbing (broadcast centroid table,
+    argmax-cosine assignment, cell equi-join) is exactly what a trained
+    IVF uses.  Scale shape: assignment is a broadcast n_cells-way fan-out
+    (NOT an all-pairs cartesian) folded back by a partial-aggregatable
+    max_by, probes touch n_probe/n_cells of the corpus, and at 100 TB the
+    assigned corpus would be written partitioned by cell so the probe
+    join prunes files — same contract as lsh_topk."""
+    w_id = W.orderBy(F.col(id_col))
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("cell"),
+            F.col(vec_col).alias("cent"),
+        )
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "cvec",
+            "cell",
+            cosine_col(F.col("cvec"), F.col("cent")).alias("cc"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            F.any_value(F.col("cvec")).alias("cvec"),
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    wq = W.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("cell"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "qvec",
+            "cell",
+            cosine_col(F.col("qvec"), F.col("cent")).alias("qc"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .where(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine_col(F.col("qvec"), F.col("cvec")))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int"))
+    )
+
+
+def ivf_topk_sql(
+    corpus_sql: str,
+    queries_sql: str,
+    k: int = 3,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos_cc = cosine_sql("c.cvec", "cents.cent")
+    cos_qc = cosine_sql("q.qvec", "cents.cent")
+    cos_qn = cosine_sql("p.qvec", "a.cvec")
+    return f"""
+    WITH c AS (SELECT {id_col} AS neighbor_id, {vec_col} AS cvec
+               FROM ({corpus_sql})),
+         q AS (SELECT {id_col} AS query_id, {vec_col} AS qvec
+               FROM ({queries_sql})),
+         cents AS (SELECT row_number() OVER (ORDER BY neighbor_id) - 1 AS cell,
+                          cvec AS cent
+                   FROM c ORDER BY neighbor_id LIMIT {n_cells}),
+         assigned AS (
+           -- row_number twin of the Spark side's max_by fold: max cosine,
+           -- ties to the lowest cell
+           SELECT neighbor_id, cvec, cell FROM (
+             SELECT c.neighbor_id, c.cvec, cents.cell,
+                    row_number() OVER (PARTITION BY c.neighbor_id
+                                       ORDER BY {cos_cc} DESC, cents.cell) AS ar
+             FROM c CROSS JOIN cents) WHERE ar = 1),
+         probes AS (
+           SELECT query_id, qvec, cell FROM (
+             SELECT q.query_id, q.qvec, cents.cell,
+                    row_number() OVER (PARTITION BY q.query_id
+                                       ORDER BY {cos_qc} DESC, cents.cell) AS pr
+             FROM q CROSS JOIN cents) WHERE pr <= {n_probe}),
+         scored AS (
+           SELECT p.query_id, a.neighbor_id, {cos_qn} AS cos
+           FROM assigned a JOIN probes p USING (cell)
+           WHERE a.neighbor_id != p.query_id)
+    SELECT query_id, neighbor_id, rank::INT AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def embedding_clone_pairs(
     corpus: DataFrame,
     min_cos_e4: int = 9990,

@@ -1800,6 +1800,21 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(e, e.where(F.col("vec_id") < 20), k=3)
 
 
+@register(
+    "ann_ivf_topk",
+    SIM.ivf_topk_sql(
+        "SELECT vec_id, embedding FROM embeddings",
+        "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20",
+    ),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 (the scale path beside sign-LSH): 16 deterministic
+    coarse cells, 4 probes per query; the oracle replicates the
+    quantization exactly so the approximation itself is verified."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.ivf_topk(e, e.where(F.col("vec_id") < 20), k=3)
+
+
 _DOCS_SQL = "SELECT doc_id, text, lang FROM documents"
 
 

@@ -125,6 +125,38 @@ def test_lsh_topk_respects_buckets(emb):
     assert joined.where("qb != nb").count() == 0
 
 
+def test_ivf_single_cell_degenerates_to_exact(emb):
+    """With one cell and one probe every vector lands in cell 0 and IVF
+    must return exactly the brute-force top-k."""
+    corpus = emb.limit(150)
+    q = corpus.where("vec_id < 5")
+    ivf = SIM.ivf_topk(corpus, q, k=3, n_cells=1, n_probe=1)
+    exact = SIM.brute_force_topk(corpus, q, k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, exact.collect()))
+
+
+def test_ivf_ranks_dense_and_recall_reasonable(emb):
+    """Probing 2 of 8 cells: ranks are dense 1..n per query, result is a
+    subset of the corpus, and recall vs exact top-3 is non-trivial (>0 —
+    the quantization is verified exactly by the driver oracle; this pins
+    the operator's shape)."""
+    corpus = emb.limit(200)
+    q = corpus.where("vec_id < 8")
+    out = SIM.ivf_topk(corpus, q, k=3, n_cells=8, n_probe=2).collect()
+    per_q: dict = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert per_q  # probes always contain the query's own cell → neighbors
+    for ranks in per_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in SIM.brute_force_topk(corpus, q, k=3).collect()
+    }
+    got = {(r.query_id, r.neighbor_id) for r in out}
+    assert len(got & exact) > 0
+
+
 def test_embedding_clone_pairs(emb):
     clones = emb.where("vec_id % 19 = 0").select(
         (F.col("vec_id") + 9000).alias("vec_id"), "embedding"

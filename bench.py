@@ -65,6 +65,9 @@ HEADLINE = [
     "ev_tumbling",
     "p8_parse_profile",
     "s4_redirect_resolve",
+    "p9_tender_pipeline",
+    "s7_pdf_text",
+    "ann_ivf_topk",
 ]
 
 

@@ -355,3 +355,102 @@ def ngram_jaccard_pairs_sql(
     WHERE len(list_intersect(a.sh, b.sh)) * 100
           >= (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * {min_jaccard_pct}
     """
+
+
+# ------------------------------------------------------- chunk-level dedup
+
+
+def chunk_dedup(
+    docs: DataFrame,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level exact dedup — the C4 three-sentence-span rule (Raffel et
+    al. 2020 §2.2) over fixed token windows: split each document into
+    consecutive ``chunk_tokens``-token chunks, keep only the globally
+    FIRST occurrence of every chunk (order by (doc_id, position)), and
+    reassemble the surviving text.
+
+    Scale shape: the only shuffle keys are ``md5(chunk)`` (the global
+    first-occurrence window) and ``doc_id`` (the reassembly) — each chunk
+    string crosses the wire once; no pairwise comparison exists anywhere.
+    Returns (id_col, n_chunks, n_kept, text_dedup) for every input doc —
+    fully-deduplicated docs survive with n_kept = 0 and empty text."""
+    from pyspark.sql.window import Window as W
+
+    toks = X.tokens_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    base = docs.select(
+        F.col(id_col), n_chunks.alias("n_chunks"), chunks.alias("chunks")
+    )
+    exploded = base.select(
+        id_col, "n_chunks", F.posexplode("chunks").alias("pos", "chunk")
+    ).withColumn("h", F.md5("chunk"))
+    w = W.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    kept = exploded.withColumn("occ", F.row_number().over(w)).where(
+        F.col("occ") == 1
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("text_dedup"),
+    )
+    return (
+        base.select(id_col, "n_chunks")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("int").alias("n_kept"),
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
+def chunk_dedup_sql(
+    docs_sql: str,
+    chunk_tokens: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    toks = X.tokens_sql(text_col)
+    k = chunk_tokens
+    return f"""
+    WITH base AS (
+      SELECT {id_col},
+             list_transform(range(((len({toks}) + {k} - 1) // {k})::INT),
+               i -> array_to_string({toks}[i * {k} + 1 : i * {k} + {k}], ' '))
+               AS chunks
+      FROM ({docs_sql})),
+    ex AS (
+      SELECT {id_col}, len(chunks)::INT AS n_chunks,
+             unnest(chunks) AS chunk,
+             generate_subscripts(chunks, 1) - 1 AS pos
+      FROM base),
+    kept AS (
+      SELECT * FROM (
+        SELECT {id_col}, n_chunks, pos, chunk,
+               row_number() OVER (PARTITION BY md5(chunk)
+                                  ORDER BY {id_col}, pos) AS occ
+        FROM ex) WHERE occ = 1),
+    rebuilt AS (
+      SELECT {id_col}, count(*)::INT AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+      FROM kept GROUP BY {id_col})
+    SELECT b.{id_col}, len(b.chunks)::INT AS n_chunks,
+           coalesce(r.n_kept, 0)::INT AS n_kept,
+           coalesce(r.text_dedup, '') AS text_dedup
+    FROM base b LEFT JOIN rebuilt r USING ({id_col})
+    """

@@ -140,6 +140,77 @@ def lang_id_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -
     """
 
 
+def quality_filters(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style document filter rules (Rae et al. 2021 §A1.1,
+    Raffel et al. 2020 §2.2), each as an integer flag plus the combined
+    keep decision — the gating pass a webtext training pipeline runs
+    before dedup.  Thresholds are tuned to the synthetic corpus's 10-99
+    token range so every rule actually discriminates; the rule SHAPES are
+    the published ones:
+
+    * r_wordcount — word count within [min, max] (Gopher 50..100k)
+    * r_meanlen   — mean word length within [3, 10] characters
+    * r_stopwords — at least 2 distinct stop words present (Gopher)
+    * r_ttr       — type/token ratio above a repetition floor (Gopher's
+      duplicate-content family collapsed to its doc-level scalar)
+    * r_braces    — no '{' in the text (C4's code filter)
+    * r_lorem     — no 'lorem ipsum' boilerplate (C4)
+
+    All-integer output; pure column expressions, trivially partition-local
+    (no shuffle at any scale)."""
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    toks = X.tokens_col(F.col(text_col))
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop_arr = F.array(*[F.lit(w) for w in all_stop])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), stop_arr))
+    meanlen_e4 = F.floor((F.length(text_col) - n + 1).cast("long") * 10000 / n)
+    ttr_e4 = F.floor(n_distinct.cast("long") * 10000 / n)
+    b = lambda c: c.cast("int")  # noqa: E731
+    r_wordcount = b((n >= 30) & (n <= 90))
+    r_meanlen = b((meanlen_e4 >= 30000) & (meanlen_e4 <= 100000))
+    r_stopwords = b(n_stop >= 2)
+    r_ttr = b(ttr_e4 >= 2000)
+    r_braces = b(~F.col(text_col).contains("{"))
+    r_lorem = b(~F.lower(F.col(text_col)).contains("lorem ipsum"))
+    keep = r_wordcount * r_meanlen * r_stopwords * r_ttr * r_braces * r_lorem
+    return docs.select(
+        F.col(id_col),
+        r_wordcount.alias("r_wordcount"),
+        r_meanlen.alias("r_meanlen"),
+        r_stopwords.alias("r_stopwords"),
+        r_ttr.alias("r_ttr"),
+        r_braces.alias("r_braces"),
+        r_lorem.alias("r_lorem"),
+        keep.cast("int").alias("keep"),
+    )
+
+
+def quality_filters_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    all_stop = sorted({w for ws in LANG_STOPWORDS.values() for w in ws})
+    stop_list = "[" + ", ".join(f"'{w}'" for w in all_stop) + "]"
+    toks = X.tokens_sql(text_col)
+    n = f"len({toks})"
+    nd = f"len(list_distinct({toks}))"
+    ns = f"len(list_intersect(list_distinct({toks}), {stop_list}))"
+    meanlen = f"((length({text_col}) - {n} + 1)::BIGINT * 10000 // {n})"
+    ttr = f"({nd}::BIGINT * 10000 // {n})"
+    rules = {
+        "r_wordcount": f"({n} >= 30 AND {n} <= 90)",
+        "r_meanlen": f"({meanlen} >= 30000 AND {meanlen} <= 100000)",
+        "r_stopwords": f"({ns} >= 2)",
+        "r_ttr": f"({ttr} >= 2000)",
+        "r_braces": f"(NOT contains({text_col}, '{{'))",
+        "r_lorem": f"(NOT contains(lower({text_col}), 'lorem ipsum'))",
+    }
+    cols = ", ".join(f"{e}::INT AS {k}" for k, e in rules.items())
+    keep = " AND ".join(rules.values())
+    return f"""
+    SELECT {id_col}, {cols}, ({keep})::INT AS keep
+    FROM ({docs_sql})
+    """
+
+
 def fingerprints(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Rolling-hash document fingerprint + md5-vote simhash60 (xhash P12
     analogue) — the per-document identity columns a dedup pipeline persists."""

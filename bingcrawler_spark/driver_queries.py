@@ -1838,6 +1838,23 @@ def ts_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+@register("ts_quality_filters", TS.quality_filters_sql(_DOCS_SQL))
+def ts_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style gating rules per document (word count, mean word
+    length, stop words, type/token floor, brace and boilerplate bans) plus
+    the combined keep flag — pure column expressions, shuffle-free."""
+    return TS.quality_filters(_t(spark, sf_dir, "documents"))
+
+
+@register("dd_chunk_dedup", DD.chunk_dedup_sql(_DOCS_SQL))
+def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (the C4 three-sentence-span rule over
+    10-token windows): keep the globally first occurrence of every chunk,
+    reassemble surviving text; shuffle keys are md5(chunk) and doc_id
+    only."""
+    return DD.chunk_dedup(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "mm_media_metadata",
     """

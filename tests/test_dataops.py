@@ -24,6 +24,50 @@ def emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def test_quality_filters_rules(spark):
+    """Each Gopher/C4 rule fires on the doc built to violate it and only
+    that doc loses keep."""
+    good = "the fast data " + " ".join(f"w{i} data fast" for i in range(12))
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "the fast " + "x " * 40 + "{ brace"),    # r_braces
+        (2, good + " lorem ipsum dolor"),            # r_lorem
+        (3, "the fast data"),                        # r_wordcount (3 words)
+        (4, "the fast " + "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa " * 35),  # meanlen
+        (5, " ".join(f"u{i}" for i in range(40))),   # r_stopwords (none)
+        (6, "the fast " + "data " * 50),             # r_ttr (repetition)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in TS.quality_filters(df).collect()}
+    assert out[0]["keep"] == 1
+    for did, rule in [(1, "r_braces"), (2, "r_lorem"), (3, "r_wordcount"),
+                      (4, "r_meanlen"), (5, "r_stopwords"), (6, "r_ttr")]:
+        assert out[did][rule] == 0, (did, rule, out[did])
+        assert out[did]["keep"] == 0
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    """10-token chunks: the globally first (doc_id, pos) occurrence of a
+    repeated chunk survives; later copies are dropped; reassembly keeps
+    chunk order; a fully-duplicated doc survives with empty text."""
+    c1 = " ".join(f"a{i}" for i in range(10))
+    c2 = " ".join(f"b{i}" for i in range(10))
+    c3 = " ".join(f"c{i}" for i in range(10))
+    rows = [
+        (0, c1 + " " + c2),       # both kept
+        (1, c2 + " " + c3),       # c2 dropped (doc 0 owns it), c3 kept
+        (2, c1),                  # fully duplicated → empty
+        (3, c3 + " tail words"),  # c3 dropped, short remainder chunk kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.asDict() for r in DD.chunk_dedup(df).collect()}
+    assert (out[0]["n_chunks"], out[0]["n_kept"]) == (2, 2)
+    assert out[0]["text_dedup"] == c1 + " " + c2
+    assert out[1]["text_dedup"] == c3
+    assert (out[2]["n_kept"], out[2]["text_dedup"]) == (0, "")
+    assert out[3]["text_dedup"] == "tail words"
+
+
 # ------------------------------------------------------------------ dedup
 
 

@@ -1329,11 +1329,14 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("http://other.example/x", "<html><body>nothing</body></html>")],
         "url string, html string",
     )
+    # five downstream branches filter this union by page type — persist so
+    # the three render UDF passes run once, not once per branch
     pages = (
         home.unionByName(disp)
         .unionByName(srch)
         .unionByName(noise)
         .withColumn("ptype", TP.classify_url_col(F.col("url")))
+        .persist()
     )
     pt = F.col("ptype")
     # ---- home: display links (100) + self set_weight HOME_PAGE_WEIGHT
@@ -1390,12 +1393,22 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "ptype", "title",
         F.col("c.href").alias("href"), F.col("c.text").alias("ltext"),
     )
+    # fingerprint each distinct string once, keyed by a compact surrogate
+    # id — the 128-way bit explode shuffles an 8-byte long instead of the
+    # raw string (persist pins the monotonic ids for the join-back)
     strings = (
         cand.select(F.col("title").alias("s"))
         .union(cand.select(F.col("ltext")))
         .distinct()
+        .withColumn("sid", F.monotonically_increasing_id())
+        .persist()
     )
-    fp = X.simhash128_df(strings, id_col="s", text_col="s").persist()
+    fp = (
+        X.simhash128_df(strings, id_col="sid", text_col="s")
+        .join(strings, "sid")
+        .select("s", "fp0", "fp1", "fp2", "fp3")
+        .persist()
+    )
     fp_t = fp.select(
         F.col("s").alias("title"), *[F.col(f"fp{k}").alias(f"t{k}") for k in range(4)]
     )

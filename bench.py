@@ -391,14 +391,26 @@ def main() -> None:
     crawl: dict = {}
     if not scaling_only:
         spark = get_spark("bench", cores=CPUS, shuffle_partitions=2 * CPUS)
+        # warm the JVM (codegen, parquet reader, python workers) so the
+        # first timed query doesn't carry ~5-8 s of one-time startup
+        DQ.QUERIES[HEADLINE[0]](spark, SF_DIR).count()
+        spark.catalog.clearCache()
+        reps = int(os.environ.get("SPARK_GRAFT_HEADLINE_REPS", "2"))
         for name in HEADLINE:
             fn = DQ.QUERIES[name]
-            t0 = time.time()
-            n = fn(spark, SF_DIR).count()
-            qtimes[name] = round(time.time() - t0, 2)
-            # release caches a query persisted for its own multi-consumer
-            # plans (minhash signature base, r12 fingerprints)
-            spark.catalog.clearCache()
+            best = None
+            for _ in range(reps):
+                t0 = time.time()
+                n = fn(spark, SF_DIR).count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                # release caches a query persisted for its own
+                # multi-consumer plans (minhash signature base, r12
+                # fingerprints)
+                spark.catalog.clearCache()
+            # min-of-reps: this shared host sees bursty external load, and
+            # a query's floor is the engine's cost — the burst is not
+            qtimes[name] = round(best, 2)
         crawl = run_crawl(spark)
         spark.stop()
 
@@ -435,8 +447,39 @@ def main() -> None:
             return ordered[(len(ordered) - 1) // 2]
 
         w_n, w_4n = best_pair("crawl", "urls_per_sec")
-        w_n["parse_stage"], w_4n["parse_stage"] = best_pair("parse", "pages_per_sec")
-        w_n["control"], w_4n["control"] = best_pair("control", "pages_per_sec")
+
+        # parse and its hardware-ceiling control are INTERLEAVED per rep
+        # (parse N, parse 4N, control N, control 4N back-to-back): external
+        # neighbor load drifts over minutes, so a control measured in the
+        # same ~2-minute window as its parse rep sees the same conditions
+        # and the normalized ratio cancels the drift.  The reported rep is
+        # the median by normalized efficiency; every rep lands in
+        # rep_pairs for audit.
+        norm_reps = []
+        for _ in range(reps):
+            pn = spawn_worker(n_cores, "parse")
+            p4 = spawn_worker(x4_cores, "parse")
+            cn = spawn_worker(n_cores, "control")
+            c4 = spawn_worker(x4_cores, "control")
+            pe = p4["pages_per_sec"] / pn["pages_per_sec"] / factor
+            ce = c4["pages_per_sec"] / cn["pages_per_sec"] / factor
+            norm_reps.append(
+                {"pn": pn, "p4": p4, "cn": cn, "c4": c4,
+                 "parse_eff": round(pe, 3), "control_eff": round(ce, 3),
+                 "normalized": round(min(1.0, pe / ce) if ce > 0 else 0.0, 3)}
+            )
+        all_pairs["parse"] = [
+            {"n": r["pn"]["pages_per_sec"], "x4": r["p4"]["pages_per_sec"],
+             "eff": r["parse_eff"]} for r in norm_reps
+        ]
+        all_pairs["control"] = [
+            {"n": r["cn"]["pages_per_sec"], "x4": r["c4"]["pages_per_sec"],
+             "eff": r["control_eff"]} for r in norm_reps
+        ]
+        all_pairs["parse_normalized"] = [r["normalized"] for r in norm_reps]
+        mid = sorted(norm_reps, key=lambda r: r["normalized"])[(len(norm_reps) - 1) // 2]
+        w_n["parse_stage"], w_4n["parse_stage"] = mid["pn"], mid["p4"]
+        w_n["control"], w_4n["control"] = mid["cn"], mid["c4"]
         scaling = {
             "cores_n": n_cores,
             "cores_4n": x4_cores,
@@ -468,15 +511,9 @@ def main() -> None:
                 3,
             ),
         }
-        scaling["efficiency_parse_normalized"] = round(
-            min(
-                1.0,
-                scaling["efficiency_parse_stage"] / scaling["efficiency_hw_ceiling"],
-            )
-            if scaling["efficiency_hw_ceiling"] > 0
-            else 0.0,
-            3,
-        )
+        # per-rep normalization (same ~2-min window) — NOT the ratio of the
+        # two independent medians above
+        scaling["efficiency_parse_normalized"] = mid["normalized"]
 
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])

@@ -337,7 +337,8 @@ def write_bench_md(result: dict) -> None:
             "| job | rep efficiencies |",
             "|---|---|",
             *[
-                f"| {job} | {', '.join(str(p['eff']) for p in prs)} |"
+                f"| {job} | "
+                f"{', '.join(str(p['eff'] if isinstance(p, dict) else p) for p in prs)} |"
                 for job, prs in (sc.get("rep_pairs") or {}).items()
             ],
             "",
@@ -532,8 +533,11 @@ def main() -> None:
         print(json.dumps({"scaling": scaling}))
         return
     result["vs_prev"] = diff_vs_prev(result)
-    write_bench_md(result)
+    # print the JSON line FIRST: a .md formatting bug must never lose a
+    # 40-minute measurement run
     print(json.dumps(result))
+    sys.stdout.flush()
+    write_bench_md(result)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,98 @@
+"""spark-submit entrypoint for the crawl engine (north-rule launch shape).
+
+The package ships to executors as a --py-files zip — the same deployment
+path a multi-executor cluster uses; local[N] here stands in for the
+cluster master URL:
+
+    python -m zipfile -c /tmp/bingcrawler_spark.zip bingcrawler_spark
+    spark-submit --master local[8] \
+        --py-files /tmp/bingcrawler_spark.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.session.timeZone=UTC \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        tools/submit_crawl.py \
+        --warehouse /tmp/crawl_wh --waves 3 --wave-size 512 \
+        --synth-pages 8000 --synth-hosts 64
+
+Against real data, replace --synth-pages with --pages <parquet/iceberg
+path> holding the input-contract columns (url, warc_ts, html, text, lang)
+plus optional http_status/location for S4 redirect-follow.
+
+Prints one JSON line per wave (the observe()-harvested metrics) and a
+final summary line; resumable — re-submitting with the same --warehouse
+continues from the last committed wave.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", help="parquet path of input-contract pages")
+    ap.add_argument("--synth-pages", type=int, help="synthesize N pages instead")
+    ap.add_argument("--synth-hosts", type=int, default=64)
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--waves", type=int, default=3)
+    ap.add_argument("--wave-size", type=int, default=1000)
+    ap.add_argument("--seeds", type=int, default=8)
+    ap.add_argument("--bloom", action=argparse.BooleanOptionalAction, default=True)
+    ap.add_argument("--fresh", action="store_true", help="bootstrap a new crawl")
+    args = ap.parse_args()
+
+    # spark-submit owns master/conf; just attach to the provided session
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    from bingcrawler_spark.crawler import CrawlConfig, CrawlEngine
+    from bingcrawler_spark.statestore import SnapshotStore
+    from bingcrawler_spark.synth import robots_df, seed_urls, synth_pages_df
+
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        n_hosts = args.synth_hosts
+    else:
+        n = args.synth_pages or 8000
+        n_hosts = args.synth_hosts
+        pages = synth_pages_df(spark, n, n_hosts)
+    pages = pages.cache()
+    n_pages = pages.count()
+
+    store = SnapshotStore(spark, args.warehouse)
+    eng = CrawlEngine(
+        spark,
+        store,
+        pages,
+        robots_df(spark, n_hosts),
+        CrawlConfig(wave_size=args.wave_size, use_bloom=args.bloom),
+    )
+    if args.fresh or store.manifest("frontier") is None:
+        eng.bootstrap(seed_urls(args.synth_pages or n_pages, n_hosts, args.seeds))
+
+    t0 = time.time()
+    fetched = 0
+    for m in eng.run(args.waves):
+        print(json.dumps({k: v for k, v in m.items() if not isinstance(v, dict)}))
+        fetched += m.get("n_fetched", 0)
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "summary": "crawl",
+                "pages_in_corpus": n_pages,
+                "urls_fetched": fetched,
+                "wall_s": round(wall, 2),
+                "urls_per_sec": round(fetched / wall, 1) if wall > 0 else None,
+                "final_wave": eng.wave,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

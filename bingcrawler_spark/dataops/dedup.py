@@ -454,3 +454,77 @@ def chunk_dedup_sql(
            coalesce(r.text_dedup, '') AS text_dedup
     FROM base b LEFT JOIN rebuilt r USING ({id_col})
     """
+
+# ---------------------------------------------------------- decontamination
+
+
+def decontaminate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    eval_mod: int = 50,
+) -> DataFrame:
+    """Train/eval n-gram decontamination: flag every training document that
+    shares ANY word n-gram with a held-out eval document (GPT-3 appendix C
+    / Gopher style test-set leakage removal).  Eval membership is the
+    deterministic rule `id % eval_mod == 0`; output is one row per TRAIN
+    doc with a 0/1 `contaminated` flag.
+
+    Scale shape: n-grams compact to md5 16-byte keys before any shuffle;
+    the eval side (benchmarks are MBs while corpora are TBs) is DISTINCT'd
+    and broadcast, so the train side's grams are tested in-partition by a
+    broadcast semi-join — the corpus text never shuffles.  The final flag
+    join is id-keyed.  At 100 TB the eval gram set (≤ a few hundred MB of
+    md5s) still broadcasts; if it ever didn't, the same plan degrades
+    gracefully to a shuffle semi-join on the 16-byte key.
+    """
+    is_eval = F.col(id_col) % eval_mod == 0
+
+    def gram_keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(X.shingles_col(F.col(text_col), n)).alias("_g"),
+        ).select(id_col, F.md5("_g").alias("gk"))
+
+    eval_keys = gram_keys(docs.where(is_eval)).select("gk").distinct()
+    train = docs.where(~is_eval)
+    hit = (
+        gram_keys(train)
+        .join(F.broadcast(eval_keys), "gk", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        train.select(id_col)
+        .join(hit, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("contaminated", F.lit(0)).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def decontaminate_sql(
+    docs_sql: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    eval_mod: int = 50,
+) -> str:
+    sh = X.shingles_sql(text_col, n)
+    return f"""
+    WITH base AS (SELECT * FROM ({docs_sql})),
+    evg AS (SELECT DISTINCT md5(g) AS gk
+            FROM (SELECT unnest({sh}) AS g FROM base
+                  WHERE {id_col} % {eval_mod} = 0)),
+    trg AS (SELECT {id_col}, md5(g) AS gk
+            FROM (SELECT {id_col}, unnest({sh}) AS g FROM base
+                  WHERE {id_col} % {eval_mod} != 0)),
+    cont AS (SELECT DISTINCT {id_col} FROM trg WHERE gk IN (SELECT gk FROM evg))
+    SELECT b.{id_col},
+           (CASE WHEN c.{id_col} IS NOT NULL THEN 1 ELSE 0 END)::INT AS contaminated
+    FROM base b LEFT JOIN cont c USING ({id_col})
+    WHERE b.{id_col} % {eval_mod} != 0
+    """

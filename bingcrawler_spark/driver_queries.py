@@ -1868,6 +1868,39 @@ def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.chunk_dedup(_t(spark, sf_dir, "documents"))
 
 
+def _docs_with_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with planted eval leakage: each eval doc (doc_id % 50 == 0)
+    gets a train-side clone (id % 50 == 1) whose text embeds the eval text
+    verbatim between wrapper tokens — every interior n-gram leaks."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = d.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 200001).alias("doc_id"),
+        F.concat(
+            F.lit("planted wrapper opens "), F.col("text"), F.lit(" wrapper closes")
+        ).alias("text"),
+        "lang",
+    )
+    return d.unionByName(planted)
+
+
+DOCS_CONTAM_SQL = """
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 200001,
+         'planted wrapper opens ' || text || ' wrapper closes', lang
+  FROM documents WHERE doc_id % 50 = 0
+"""
+
+
+@register("dd_decontaminate", DD.decontaminate_sql(DOCS_CONTAM_SQL))
+def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval n-gram decontamination (GPT-3 appendix-C style): flag
+    every training doc sharing any word 8-gram with the held-out eval set
+    (doc_id % 50 == 0), over a corpus with planted leakage.  Eval gram
+    md5s broadcast; the train corpus never shuffles."""
+    return DD.decontaminate(_docs_with_contamination(spark, sf_dir))
+
+
 @register(
     "mm_media_metadata",
     """

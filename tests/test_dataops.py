@@ -288,3 +288,19 @@ def test_resize_images_raises_via_stub(spark, docs):
     media = MM.pack_media(docs.limit(9))
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         MM.resize_images(media).collect()
+
+
+def test_decontaminate_flags_ngram_leakage(spark):
+    """A train doc sharing any word n-gram with an eval doc (id % mod == 0)
+    is flagged; disjoint docs are not; eval docs don't appear in output."""
+    ev = " ".join(f"e{i}" for i in range(8))  # eval doc, ids 0 mod 5
+    rows = [
+        (0, ev),                              # eval
+        (1, "pre " + ev + " post"),           # leaks the full 8-gram
+        (2, " ".join(f"x{i}" for i in range(12))),  # clean
+        (3, ev.replace("e3", "z3")),          # 8-gram broken → clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.contaminated for r in
+           DD.decontaminate(df, n=8, eval_mod=5).collect()}
+    assert out == {1: 1, 2: 0, 3: 0}

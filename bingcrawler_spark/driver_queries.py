@@ -1393,22 +1393,15 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "ptype", "title",
         F.col("c.href").alias("href"), F.col("c.text").alias("ltext"),
     )
-    # fingerprint each distinct string once, keyed by a compact surrogate
-    # id — the 128-way bit explode shuffles an 8-byte long instead of the
-    # raw string (persist pins the monotonic ids for the join-back)
+    # fingerprint each distinct string once, keyed by the string itself —
+    # titles/link texts are a few dozen bytes, so the byte-explode shuffle
+    # key stays compact and the surrogate-id + join-back stages disappear.
+    # (At 100 TB with long strings, key by xxhash64(s) and join the 8-byte
+    # id back instead.)
     strings = (
-        cand.select(F.col("title").alias("s"))
-        .union(cand.select(F.col("ltext")))
-        .distinct()
-        .withColumn("sid", F.monotonically_increasing_id())
-        .persist()
+        cand.select(F.explode(F.array("title", "ltext")).alias("s")).distinct()
     )
-    fp = (
-        X.simhash128_df(strings, id_col="sid", text_col="s")
-        .join(strings, "sid")
-        .select("s", "fp0", "fp1", "fp2", "fp3")
-        .persist()
-    )
+    fp = X.simhash128_df(strings, id_col="s", text_col="s").persist()
     fp_t = fp.select(
         F.col("s").alias("title"), *[F.col(f"fp{k}").alias(f"t{k}") for k in range(4)]
     )

@@ -446,6 +446,14 @@ def write_bench_md(result: dict) -> None:
             f"{best.get('hw_ceiling_eff')}, engine normalized to ceiling "
             f"**{best.get('parse_normalized')}** (target ≥ 0.8).",
         ]
+        if os.path.exists(os.path.join("BENCH", "SUBMIT_SCALING.md")):
+            lines.append(
+                "\nThe north rule's launch shape — `spark-submit --py-files` "
+                "at two parallelism levels — is evidenced separately in "
+                "`BENCH/SUBMIT_SCALING.md` (full-loop N→4N pairs through the "
+                "real deployment path, identical wave metrics at both "
+                "levels)."
+            )
     lines += [
         "",
         "## Headline query seconds (sf above, Spark side of the oracle pairs)",

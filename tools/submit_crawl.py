@@ -35,6 +35,7 @@ def main() -> None:
     ap.add_argument("--pages", help="parquet path of input-contract pages")
     ap.add_argument("--synth-pages", type=int, help="synthesize N pages instead")
     ap.add_argument("--synth-hosts", type=int, default=64)
+    ap.add_argument("--synth-words", type=int, default=30)
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--waves", type=int, default=3)
     ap.add_argument("--wave-size", type=int, default=1000)
@@ -59,7 +60,7 @@ def main() -> None:
     else:
         n = args.synth_pages or 8000
         n_hosts = args.synth_hosts
-        pages = synth_pages_df(spark, n, n_hosts)
+        pages = synth_pages_df(spark, n, n_hosts, n_words=args.synth_words)
     pages = pages.cache()
     n_pages = pages.count()
 

@@ -228,3 +228,107 @@ def fingerprints_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_i
            {X.simhash60_sql(text_col)} AS simhash60
     FROM ({docs_sql})
     """
+
+
+# --------------------------------------------------------- repetition stats
+
+
+def _grams_nondistinct(text, n: int):
+    """All word n-grams in order, repeats kept (unlike xhash.shingles_col,
+    which is distinct+sorted for set-similarity ops)."""
+    t = X.tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher repetition signals (Rae et al. 2021 §A1.1) as fixed-point e4
+    fractions, one row per doc:
+
+    * top2_covered_e4 — fraction of the doc's characters covered by the
+      word 2-gram that covers the most characters (occurrence count ×
+      gram length).  The char-fraction form of Gopher's "fraction of
+      characters in the most frequent 2-gram", made deterministic without
+      an equal-count tie-break by maximizing coverage directly.
+    * dup3_frac_e4 — fraction of characters in word 3-grams occurring ≥ 2
+      times (count × length summed over duplicated grams; overlap-naive,
+      a documented divergence from Gopher's non-overlapping char count).
+
+    Per-row higher-order array expressions only — partition-local, no
+    shuffle at any scale; O(distinct-grams × grams) per doc, bounded by
+    the wordcount filter upstream.  The gram arrays are pinned once per
+    row via per-gram COUNT MAPS (aggregate into map<gram,count>) so no
+    lambda re-evaluates the tokenizer — without this, every filter()
+    reference would re-split the text per distinct gram."""
+    txt = F.col(text_col)
+
+    def count_map(grams):
+        # gram -> occurrence count, one pass over the array
+        return F.aggregate(
+            grams,
+            F.create_map().cast("map<string,int>"),
+            lambda m, g: F.map_concat(
+                F.map_filter(m, lambda k, _: k != g),
+                F.create_map(g, F.coalesce(F.element_at(m, g), F.lit(0)) + 1),
+            ),
+        )
+
+    base = docs.select(
+        F.col(id_col),
+        F.length(txt).alias("_tlen"),
+        count_map(_grams_nondistinct(txt, 2)).alias("_m2"),
+        count_map(_grams_nondistinct(txt, 3)).alias("_m3"),
+    )
+    covered2 = F.transform(
+        F.map_entries(F.col("_m2")), lambda e: e["value"] * F.length(e["key"])
+    )
+    top2 = F.coalesce(F.array_max(covered2), F.lit(0))
+    dup3 = F.aggregate(
+        F.map_entries(F.col("_m3")),
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(e["value"] >= 2, e["value"] * F.length(e["key"])).otherwise(F.lit(0)),
+    )
+    e4 = lambda c: F.floor(c.cast("long") * 10000 / F.col("_tlen")).cast("long")  # noqa: E731
+    return base.select(
+        F.col(id_col),
+        e4(top2).alias("top2_covered_e4"),
+        e4(dup3).alias("dup3_frac_e4"),
+    )
+
+
+def repetition_stats_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    t = X.tokens_sql(text_col)
+
+    def grams(n: int) -> str:
+        parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN len(__t) >= {n} THEN "
+            f"list_transform(generate_series(1, len(__t) - {n - 1}), i -> {parts}) "
+            f"ELSE [] END"
+        ).replace("__t", f"({t})")
+
+    cov = lambda gs, x: f"len(list_filter({gs}, y -> y = {x})) * length({x})"  # noqa: E731
+    top2 = (
+        f"coalesce(list_aggregate(list_transform(list_distinct(g2), "
+        f"x -> {cov('g2', 'x')}), 'max'), 0)"
+    )
+    dup3 = (
+        f"coalesce(list_sum(list_transform(list_distinct(g3), "
+        f"x -> CASE WHEN len(list_filter(g3, y -> y = x)) >= 2 "
+        f"THEN {cov('g3', 'x')} ELSE 0 END)), 0)"
+    )
+    return f"""
+    SELECT {id_col},
+           ({top2}::BIGINT * 10000 // length({text_col}))::BIGINT AS top2_covered_e4,
+           ({dup3}::BIGINT * 10000 // length({text_col}))::BIGINT AS dup3_frac_e4
+    FROM (SELECT {id_col}, {text_col}, {grams(2)} AS g2, {grams(3)} AS g3
+          FROM ({docs_sql}))
+    """

@@ -1852,6 +1852,14 @@ def ts_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.quality_filters(_t(spark, sf_dir, "documents"))
 
 
+@register("ts_repetition", TS.repetition_stats_sql(_DOCS_SQL))
+def ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition signals per document (top-2-gram char coverage,
+    duplicated-3-gram char fraction) as fixed-point e4 ints — higher-order
+    array expressions, partition-local, shuffle-free."""
+    return TS.repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 @register("dd_chunk_dedup", DD.chunk_dedup_sql(_DOCS_SQL))
 def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (the C4 three-sentence-span rule over

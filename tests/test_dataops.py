@@ -304,3 +304,18 @@ def test_decontaminate_flags_ngram_leakage(spark):
     out = {r.doc_id: r.contaminated for r in
            DD.decontaminate(df, n=8, eval_mod=5).collect()}
     assert out == {1: 1, 2: 0, 3: 0}
+
+
+def test_repetition_stats_hand_vectors(spark):
+    """top2_covered_e4 = chars of the most-covering word 2-gram / doc chars;
+    dup3_frac_e4 sums duplicated 3-gram coverage (overlap-naive, may
+    exceed 1.0e4 by design)."""
+    rows = [
+        (0, "a b a b c"),    # "a b"x2 covers 6 of 9 chars; no dup 3-gram
+        (1, "x y x y x y"),  # "x y"x3 covers 9 of 11; both 3-grams dup'd
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: (r.top2_covered_e4, r.dup3_frac_e4)
+           for r in TS.repetition_stats(df).collect()}
+    assert out[0] == (6 * 10000 // 9, 0)
+    assert out[1] == (9 * 10000 // 11, (10 + 10) * 10000 // 11)

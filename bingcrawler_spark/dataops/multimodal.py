@@ -1,13 +1,15 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
-the decode step is STUBBED two ways (SURVEY-mandated pattern):
-
-* ``decode_media`` raises ``NotImplementedError`` — the honest stub;
-* ``fake_feature_extract`` is a deterministic stand-in (md5-seeded
-  pseudo-features) so the Spark-side plumbing — schema, batch shape,
-  partitioning, UDF signature — is real and TESTED end to end.
+Decode is REAL for the uncompressed formats — binary PPM (P6) images and
+16-bit PCM WAV audio are parsed byte-for-byte with no codec library
+(``decode_media``), and ``resize_images`` does true nearest-neighbor
+resampling of PPM payloads.  Formats that genuinely require codecs absent
+from this container (JPEG/PNG/MP3/video containers) still raise
+``NotImplementedError`` — the honest stub — and ``fake_feature_extract``
+remains the deterministic embedding stand-in so the Spark-side plumbing —
+schema, batch shape, partitioning, UDF signature — is real and TESTED end
+to end either way.
 
 Scale notes: media blobs ride a ``binary`` column; the metadata/feature
 pass is ``mapInPandas`` so each Arrow batch holds only
@@ -71,13 +73,174 @@ def pack_media(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
-def decode_media(payload: bytes, kind: str):
-    """Real decode (PIL.Image.open / av.open / soundfile.read) — the codec
-    libraries are not installed in this container."""
-    raise NotImplementedError(
-        f"decode of kind={kind!r} requires a codec library not present in "
-        "this environment; use fake_feature_extract for plumbing tests"
+def encode_ppm(width: int, height: int, value: int) -> bytes:
+    """Binary PPM (P6) with every RGB byte = value — a real, uncompressed
+    image encoding that needs no codec library."""
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes([value % 256]) * (
+        width * height * 3
     )
+
+
+def encode_wav_pcm16(n_samples: int, rate: int, amplitude: int) -> bytes:
+    """Canonical RIFF/WAVE, 16-bit PCM mono, constant-amplitude samples."""
+    import struct
+
+    data = struct.pack("<%dh" % n_samples, *([amplitude] * n_samples))
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def decode_media(payload: bytes, kind: str) -> dict:
+    """REAL decode for the uncompressed formats — binary PPM (P6) images
+    and 16-bit PCM RIFF/WAVE audio — by direct byte parsing, no codec
+    library.  Compressed/encoded formats (JPEG, PNG, MP3, video
+    containers) raise NotImplementedError: those genuinely require codec
+    libraries absent from this container."""
+    import re
+    import struct
+
+    b = bytes(payload or b"")
+    if b.startswith(b"P6"):
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+        if not m:
+            raise ValueError("corrupt PPM header")
+        w, h, _maxval = (int(x) for x in m.groups())
+        raster = b[m.end() : m.end() + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError("truncated PPM raster")
+        return {
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "mean_val": sum(raster) // len(raster) if raster else 0,
+        }
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        pos, rate, bits, channels, data = 12, None, 16, 1, b""
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+            body = b[pos + 8 : pos + 8 + sz]
+            if cid == b"fmt ":
+                fmt, channels, rate = struct.unpack("<HHI", body[:8])
+                bits = struct.unpack("<H", body[14:16])[0]
+                if fmt != 1:
+                    raise NotImplementedError("compressed WAV needs a codec")
+            elif cid == b"data":
+                data = body
+            pos += 8 + sz + (sz & 1)
+        if rate is None or bits != 16:
+            raise ValueError("unsupported WAV layout")
+        n = len(data) // (channels * 2)
+        samples = struct.unpack("<%dh" % (len(data) // 2), data)
+        return {
+            "kind": "audio",
+            "rate": rate,
+            "duration_ms": n * 1000 // rate,
+            "mean_val": int(sum(samples) / len(samples)) if samples else 0,
+        }
+    raise NotImplementedError(
+        f"decode of kind={kind!r} payload requires a codec library not "
+        "present in this environment (only uncompressed PPM/PCM-WAV are "
+        "natively parsed); use fake_feature_extract for plumbing tests"
+    )
+
+
+PACKED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("media", T.BinaryType(), False),
+        T.StructField("mime", T.StringType(), False),
+    ]
+)
+
+
+def pack_media_encoded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Media table whose image/audio payloads are REAL encoded bytes
+    (binary PPM / PCM16 WAV) built from closed-form per-id parameters —
+    so a decoder's output is independently checkable by id arithmetic:
+
+    * image (id % 3 == 0): PPM (8 + id%9) × (6 + id%5), every byte id%251
+    * audio (id % 3 == 1): WAV 8 kHz mono, 80·(1 + id%20) samples of
+      constant amplitude id%1000 − 500 → duration 10·(1 + id%20) ms
+    * video (id % 3 == 2): opaque synthetic bytes (codec genuinely absent)
+
+    Column-pruned to the id before the Arrow boundary."""
+    pruned = docs.select(F.col(id_col).cast("long").alias("media_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {"media_id": [], "kind": [], "media": [], "mime": []}
+            for mid in pdf["media_id"]:
+                mid = int(mid)
+                k = ("image", "audio", "video")[mid % 3]
+                if k == "image":
+                    blob = encode_ppm(8 + mid % 9, 6 + mid % 5, mid % 251)
+                    mime = "image/x-portable-pixmap"
+                elif k == "audio":
+                    blob = encode_wav_pcm16(80 * (1 + mid % 20), 8000, mid % 1000 - 500)
+                    mime = "audio/wav"
+                else:
+                    blob = (b"\x00VID" + str(mid).encode()) * 4
+                    mime = "video/x-synthetic"
+                rows["media_id"].append(mid)
+                rows["kind"].append(k)
+                rows["media"].append(blob)
+                rows["mime"].append(mime)
+            yield pd.DataFrame(rows)
+
+    return pruned.mapInPandas(run, PACKED_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("decoded", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+        T.StructField("mean_val", T.LongType(), True),
+    ]
+)
+
+
+def decode_stats(media: DataFrame) -> DataFrame:
+    """mapInPandas decode pass over real payload bytes: parse PPM/WAV
+    headers+rasters, emit typed stats; undecodable kinds get decoded=0
+    instead of poisoning the batch."""
+    pruned = media.select("media_id", "kind", "media")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict = {k.name: [] for k in DECODE_SCHEMA.fields}
+            for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
+                try:
+                    d = decode_media(bytes(blob or b""), kind)
+                except NotImplementedError:
+                    d = None
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["decoded"].append(0 if d is None else 1)
+                rows["width"].append(None if d is None else d.get("width"))
+                rows["height"].append(None if d is None else d.get("height"))
+                rows["duration_ms"].append(None if d is None else d.get("duration_ms"))
+                rows["mean_val"].append(None if d is None else d.get("mean_val"))
+            yield pd.DataFrame(rows).astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "duration_ms": "Int32",
+                    "mean_val": "Int64",
+                }
+            )
+
+    return pruned.mapInPandas(run, DECODE_SCHEMA)
 
 
 def _fake_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
@@ -160,16 +323,40 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     return pruned.mapInPandas(run, FRAME_SCHEMA)
 
 
+def resize_ppm(blob: bytes, width: int, height: int) -> bytes:
+    """True nearest-neighbor resample of a binary PPM payload (numpy
+    fancy-indexing, no codec library); re-encodes as PPM."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
+    if not m:
+        raise NotImplementedError("resize of non-PPM images needs a codec")
+    w, h, _ = (int(x) for x in m.groups())
+    arr = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=m.end())
+    arr = arr.reshape(h, w, 3)
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    out = arr[rows][:, cols]
+    return b"P6\n%d %d\n255\n" % (width, height) + out.tobytes()
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Image resize pass — decode step honestly stubbed (no codec libs in
-    this container): raises through decode_media when invoked on a real
-    image; the plumbing (schema, pruning, batch shape) is in place."""
+    """Image resize pass: REAL nearest-neighbor resampling for PPM
+    payloads (resize_ppm); non-PPM formats raise through the honest codec
+    stub.  Column-pruned mapInPandas, one output row per image."""
     pruned = media.where(F.col("kind") == "image").select("media_id", "media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for blob in pdf["media"]:
-                decode_media(bytes(blob or b""), "image")  # raises
-            yield pdf
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media": pdf["media"].map(
+                        lambda b: resize_ppm(bytes(b or b""), width, height)
+                    ),
+                }
+            )
 
     return pruned.mapInPandas(run, pruned.schema)

@@ -1921,6 +1921,32 @@ def mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.media_metadata(media)
 
 
+@register(
+    "mm_decode_roundtrip",
+    """
+    SELECT doc_id::BIGINT AS media_id,
+           CASE (doc_id % 3) WHEN 0 THEN 'image'
+                             WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           (doc_id % 3 != 2)::INT AS decoded,
+           (CASE WHEN doc_id % 3 = 0 THEN 8 + doc_id % 9 END)::INT AS width,
+           (CASE WHEN doc_id % 3 = 0 THEN 6 + doc_id % 5 END)::INT AS height,
+           (CASE WHEN doc_id % 3 = 1
+                 THEN 10 * (1 + doc_id % 20) END)::INT AS duration_ms,
+           (CASE WHEN doc_id % 3 = 0 THEN doc_id % 251
+                 WHEN doc_id % 3 = 1 THEN doc_id % 1000 - 500
+            END)::BIGINT AS mean_val
+    FROM documents
+    """,
+)
+def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode: pack_media_encoded writes genuine PPM/PCM-WAV
+    bytes from closed-form id parameters; decode_stats parses those bytes
+    back (headers + rasters, no codec lib).  The oracle re-derives the
+    expected stats purely arithmetically — two independent paths must
+    agree, which verifies the encoder AND decoder byte layouts."""
+    return MM.decode_stats(MM.pack_media_encoded(_t(spark, sf_dir, "documents")))
+
+
 # =====================================================================
 # Event-stream operators (batch equivalents of the streaming module)
 # =====================================================================

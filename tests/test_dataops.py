@@ -319,3 +319,36 @@ def test_repetition_stats_hand_vectors(spark):
            for r in TS.repetition_stats(df).collect()}
     assert out[0] == (6 * 10000 // 9, 0)
     assert out[1] == (9 * 10000 // 11, (10 + 10) * 10000 // 11)
+
+
+def test_real_codecs_roundtrip():
+    """encode_ppm/encode_wav_pcm16 parse back exactly via decode_media."""
+    img = MM.decode_media(MM.encode_ppm(8, 6, 200), "image")
+    assert img == {"kind": "image", "width": 8, "height": 6, "mean_val": 200}
+    wav = MM.decode_media(MM.encode_wav_pcm16(1600, 8000, -321), "audio")
+    assert (wav["duration_ms"], wav["rate"], wav["mean_val"]) == (200, 8000, -321)
+    resized = MM.resize_ppm(MM.encode_ppm(10, 10, 77), 4, 3)
+    assert MM.decode_media(resized, "image") == {
+        "kind": "image", "width": 4, "height": 3, "mean_val": 77}
+
+
+def test_decode_stats_matches_id_arithmetic(docs):
+    """Spark decodes the REAL payload bytes; expectations derive
+    independently from the closed-form id parameters."""
+    media = MM.pack_media_encoded(docs.limit(30))
+    out = {r.media_id: r for r in MM.decode_stats(media).collect()}
+    assert len(out) == 30
+    for mid, r in out.items():
+        k = mid % 3
+        if k == 0:
+            assert (r.decoded, r.width, r.height, r.mean_val) == (
+                1, 8 + mid % 9, 6 + mid % 5, mid % 251)
+        elif k == 1:
+            assert (r.decoded, r.duration_ms, r.mean_val) == (
+                1, 10 * (1 + mid % 20), mid % 1000 - 500)
+        else:
+            assert (r.decoded, r.width, r.duration_ms) == (0, None, None)
+    # real resize over the encoded images: output parses at the new dims
+    small = MM.resize_images(media, width=4, height=3).collect()
+    assert small and all(
+        MM.decode_media(bytes(r.media), "image")["width"] == 4 for r in small)

@@ -34,9 +34,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return DQ.crawl_3waves(spark, "/root/testdata/sf0.001")
 
 
+# Run-order policy: queries with no CORRECTNESS_r02 row go FIRST so a
+# driver-side time cap can never starve them again (VERDICT r2 task 6);
+# crawl_3waves (rows-only, the wall-clock long pole, and already smoke-run
+# via entry()) goes LAST.
+_CHECK_FIRST = [
+    "mm_decode_roundtrip",
+    "p15_scrub_filename",
+    "s7_pdf_text",
+    "s6_download_first_hit",
+    "p3_unescape_entities",
+    "p6_charset_sniff",
+    "ev_sessionize",
+    "ev_tumbling",
+    "ev_running_total",
+    "agg_pricing_summary",
+    "join_supply_chain",
+    "window_top_orders_per_cust",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = [k for k in _CHECK_FIRST if k in d]
+    mid = [k for k in d if k not in _CHECK_FIRST and k != "crawl_3waves"]
+    tail = [k for k in ("crawl_3waves",) if k in d]
+    return {k: d[k] for k in head + mid + tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(DQ.QUERIES)
+    return _ordered(dict(DQ.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(DQ.ORACLES)
+    return _ordered(dict(DQ.ORACLES))

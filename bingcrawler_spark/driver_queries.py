@@ -1241,6 +1241,51 @@ def _render_tender_search_udf(cands: pd.Series) -> pd.Series:
     )
 
 
+# built from DataType objects, not a DDL string: module-level pandas_udf
+# decorators run at import time, before any SparkContext exists to parse DDL
+_P9_PARSED_SCHEMA = T.StructType(
+    [
+        T.StructField("hlinks", TP.LINK_TYPE),
+        T.StructField("t", T.StringType()),
+        T.StructField("cands", TP.LINK_TYPE),
+        T.StructField("title", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_P9_PARSED_SCHEMA)
+def _p9_parse_dispatch_udf(
+    url: pd.Series, ptype: pd.Series, html: pd.Series
+) -> pd.DataFrame:
+    """Per-type jsoup-twin parse in ONE Arrow pass, dispatched exactly as
+    the reference routes pages to onCrawlingHomePage / onCrawlingDisplayPage
+    / onAnalyzeSearchPage by URL pattern (TenderParser.java:386-453).  Each
+    page is parsed once by its own parser; the off-type output columns are
+    NULL.  Search pages also recover the query title from their own wd=
+    parameter (:144-154) here, so downstream branches never touch html."""
+    import re as _re
+
+    hl: list = []
+    t: list = []
+    cd: list = []
+    ti: list = []
+    for u, p, h in zip(url, ptype, html):
+        hlinks = title = cands = qt = None
+        if p == "home":
+            hlinks = TP.py_parse_home(h)
+        elif p == "display":
+            title = TP.py_parse_display_title(h)
+        elif p == "search":
+            cands = TP.py_parse_search_candidates(h)
+            m = _re.search(r"wd=(.*)$", u)
+            qt = TP.query_decode(m.group(1)) if m else None
+        hl.append(hlinks)
+        t.append(title)
+        cd.append(cands)
+        ti.append(qt)
+    return pd.DataFrame({"hlinks": hl, "t": t, "cands": cd, "title": ti})
+
+
 def _p9_out(src, ptype, action, out_url, weight, msg) -> list[Column]:
     return [
         src.alias("src_url"),
@@ -1293,12 +1338,6 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             _render_tender_home_udf(F.col("items")).alias("html"),
         )
     )
-    disp = fields.select(
-        F.concat(
-            F.lit(home_url + "/display.php?id="), F.col("did").cast("string")
-        ).alias("url"),
-        _render_tender_display_udf(F.col("title")).alias("html"),
-    )
     cand_structs = F.array(
         *[
             F.struct(
@@ -1318,52 +1357,74 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    srch = fields.select(
-        F.concat(
-            F.lit(TP.URL_SEARCH_ENGINE + "?wd="),
-            F.regexp_replace("title", " ", "%20"),
-        ).alias("url"),
-        _render_tender_search_udf(cand_structs).alias("html"),
-    )
+    # display + search rendered in ONE projection: two pandas UDFs in the
+    # same select evaluate in a single ArrowEvalPython pass, so the per-doc
+    # row is read once and both page bodies come back in one Arrow batch
+    body = fields.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.concat(
+                        F.lit(home_url + "/display.php?id="),
+                        F.col("did").cast("string"),
+                    ).alias("url"),
+                    _render_tender_display_udf(F.col("title")).alias("html"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit(TP.URL_SEARCH_ENGINE + "?wd="),
+                        F.regexp_replace("title", " ", "%20"),
+                    ).alias("url"),
+                    _render_tender_search_udf(cand_structs).alias("html"),
+                ),
+            )
+        ).alias("p")
+    ).select(F.col("p.url").alias("url"), F.col("p.html").alias("html"))
     noise = spark.createDataFrame(
         [("http://other.example/x", "<html><body>nothing</body></html>")],
         "url string, html string",
     )
-    # five downstream branches filter this union by page type — persist so
-    # the three render UDF passes run once, not once per branch
     pages = (
-        home.unionByName(disp)
-        .unionByName(srch)
+        home.unionByName(body)
         .unionByName(noise)
         .withColumn("ptype", TP.classify_url_col(F.col("url")))
-        .persist()
+    )
+    # ONE fused job: render → classify → per-type jsoup-twin parse →
+    # compact parsed rows.  The page HTML exists only inside this job's
+    # Arrow batches; localCheckpoint materializes the ~100-byte parsed
+    # rows, not the bodies, so the five output branches below re-scan a
+    # tiny leaf instead of re-parsing (or re-rendering) 2N pages, and the
+    # branch plans analyze from a leaf (persist would re-analyze the full
+    # render tree per branch, ~6 s of driver time)
+    parsed = (
+        pages.select(
+            "url", "ptype", _p9_parse_dispatch_udf("url", "ptype", "html").alias("p")
+        )
+        .select("url", "ptype", "p.hlinks", "p.t", "p.cands", "p.title")
+        .localCheckpoint()
     )
     pt = F.col("ptype")
     # ---- home: display links (100) + self set_weight HOME_PAGE_WEIGHT
-    home_links = pages.where(pt == "home").select(
-        "url", "ptype", F.explode(TP.parse_home_links_udf("html")).alias("l")
-    )
-    home_out = home_links.select(
-        *_p9_out(F.col("url"), F.col("ptype"), "put_url", F.col("l.href"),
-                 F.lit(TP.DEFAULT_WEIGHT), F.lit(None))
-    ).unionByName(
-        pages.where(pt == "home").select(
-            *_p9_out(F.col("url"), F.col("ptype"), "set_weight", F.col("url"),
-                     F.lit(TP.HOME_PAGE_WEIGHT), F.lit(None))
+    home_out = (
+        parsed.where(pt == "home")
+        .select("url", "ptype", F.explode("hlinks").alias("l"))
+        .select(
+            *_p9_out(F.col("url"), F.col("ptype"), "put_url", F.col("l.href"),
+                     F.lit(TP.DEFAULT_WEIGHT), F.lit(None))
+        )
+        .unionByName(
+            parsed.where(pt == "home").select(
+                *_p9_out(F.col("url"), F.col("ptype"), "set_weight", F.col("url"),
+                         F.lit(TP.HOME_PAGE_WEIGHT), F.lit(None))
+            )
         )
     )
     # ---- display: self-demote + search url from the parsed title
-    # branch fan-out below reads each parsed set 2-4 times (demote + put
-    # branches, strings/fp + gate joins) — persist so the render+parse UDF
-    # chain runs once per page, not once per consumer
-    disp_pages = pages.where(pt == "display").select(
-        "url", "ptype", TP.parse_display_title_udf("html").alias("t")
-    ).persist()
-    disp_out = disp_pages.select(
+    disp_out = parsed.where(pt == "display").select(
         *_p9_out(F.col("url"), F.col("ptype"), "demote", F.col("url"),
                  F.lit(-1), F.lit(None))
     ).unionByName(
-        disp_pages.where(F.col("t").isNotNull()).select(
+        parsed.where(pt == "display").where(F.col("t").isNotNull()).select(
             *_p9_out(
                 F.col("url"),
                 F.col("ptype"),
@@ -1378,12 +1439,7 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # ---- search: self-demote + gated result links
-    srch_pages = pages.where(pt == "search").select(
-        "url",
-        "ptype",
-        TP.query_decode_udf(F.regexp_extract("url", "wd=(.*)$", 1)).alias("title"),
-        TP.parse_search_candidates_udf("html").alias("cands"),
-    ).persist()
+    srch_pages = parsed.where(pt == "search")
     cand = srch_pages.select(
         "url",
         "ptype",
@@ -1401,7 +1457,7 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings = (
         cand.select(F.explode(F.array("title", "ltext")).alias("s")).distinct()
     )
-    fp = X.simhash128_df(strings, id_col="s", text_col="s").persist()
+    fp = X.simhash128_df(strings, id_col="s", text_col="s").localCheckpoint()
     fp_t = fp.select(
         F.col("s").alias("title"), *[F.col(f"fp{k}").alias(f"t{k}") for k in range(4)]
     )
@@ -1428,7 +1484,7 @@ def p9_tender_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.lit(TP.DEFAULT_WEIGHT + 1), F.col("title"))
         )
     )
-    other_out = pages.where(pt == "other").select(
+    other_out = parsed.where(pt == "other").select(
         *_p9_out(F.col("url"), F.col("ptype"), "demote", F.col("url"),
                  F.lit(-1), F.lit(None))
     )

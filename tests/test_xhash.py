@@ -139,6 +139,30 @@ def test_simhash128_matches_pure_python_reference_math(spark, sf_dir):
     assert got == want
 
 
+def test_simhash_pandas_forms_equal_agg_forms(spark, sf_dir):
+    """The registered map-only pandas-UDF fingerprints must be
+    bit-identical to the JVM explode-aggregate cross-check forms —
+    three-way agreement with the DuckDB CTE oracle is what lets the
+    shuffle-free path replace the aggregate path (VERDICT r2 tasks 1/7)."""
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    p128 = {
+        r.doc_id: (r.fp0, r.fp1, r.fp2, r.fp3)
+        for r in X.simhash128_df(docs).collect()
+    }
+    a128 = {
+        r.doc_id: (r.fp0, r.fp1, r.fp2, r.fp3)
+        for r in X.simhash128_df_agg(docs).collect()
+    }
+    assert p128 == a128 and len(p128) == 60
+    p60 = {r.doc_id: r.simhash60 for r in X.simhash60_df(docs).collect()}
+    a60 = {r.doc_id: r.simhash60 for r in X.simhash60_df_agg(docs).collect()}
+    assert p60 == a60 and len(p60) == 60
+
+
 def test_simhash128_votes_count_repeats():
     """getSign iterates the raw token list — 'a a a b' must differ from
     'a b' whenever the repeat flips a majority (unlike the deduped 60-bit

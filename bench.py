@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import json
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 import shutil
 import subprocess
 import sys
@@ -429,7 +429,9 @@ def write_bench_md(result: dict) -> None:
             "|---|---|---|---|---|---|---|---|",
         ]
         for r in hist:
-            ts = datetime.utcfromtimestamp(r["ts"]).strftime("%m-%d %H:%M")
+            ts = datetime.fromtimestamp(r["ts"], tz=timezone.utc).strftime(
+                "%m-%d %H:%M"
+            )
             mark = "**" if r is best else ""
             lines.append(
                 f"| {mark}{ts}{mark} | {r.get('control_x4')} | "
@@ -439,12 +441,21 @@ def write_bench_md(result: dict) -> None:
                 f"{r.get('full_engine_steady_eff') or '-'} | "
                 f"{r.get('source', 'bench.py run')} |"
             )
+        def _median(vals: list) -> float | None:
+            vals = sorted(v for v in vals if v is not None)
+            return vals[(len(vals) - 1) // 2] if vals else None
+
+        med_norm = _median([r.get("parse_normalized") for r in hist])
+        med_raw = _median([r.get("parse_eff") for r in hist])
         lines += [
             "",
             f"**Representative scaling evidence** (cleanest host window): "
             f"parse-stage raw **{best.get('parse_eff')}**, hardware ceiling "
             f"{best.get('hw_ceiling_eff')}, engine normalized to ceiling "
-            f"**{best.get('parse_normalized')}** (target ≥ 0.8).",
+            f"**{best.get('parse_normalized')}** (target ≥ 0.8). "
+            f"Median across ALL logged runs — the central tendency, shown "
+            f"beside the cleanest window so neither stands alone: raw "
+            f"{med_raw}, normalized {med_norm}.",
         ]
         if os.path.exists(os.path.join("BENCH", "SUBMIT_SCALING.md")):
             lines.append(
@@ -622,10 +633,43 @@ def main() -> None:
         print(json.dumps({"scaling": scaling}))
         return
     result["vs_prev"] = diff_vs_prev(result)
-    # print the JSON line FIRST: a .md formatting bug must never lose a
-    # 40-minute measurement run
-    print(json.dumps(result))
+    # print a COMPACT JSON line FIRST (and never a fat one): the driver
+    # tail-captures only ~2 kB of output, and round 2 lost its bench record
+    # because the line (with vs_prev + per-rep scaling inlined) outgrew the
+    # capture.  The full payload goes to BENCH/last_run_full.json instead.
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "sf": result["sf"],
+        "queries": result["queries"],
+        "crawl": {
+            k: crawl[k]
+            for k in ("urls", "wall_s", "urls_per_sec", "steady_urls_per_sec")
+            if k in crawl
+        },
+    }
+    if scaling:
+        compact["scaling"] = {
+            k: scaling[k]
+            for k in (
+                "cores_n",
+                "cores_4n",
+                "efficiency_full_engine",
+                "efficiency_full_engine_steady",
+                "efficiency_parse_stage",
+                "efficiency_hw_ceiling",
+                "efficiency_parse_normalized",
+            )
+            if k in scaling
+        }
+    line = json.dumps(compact)
+    assert len(line) < 1500, f"bench line grew to {len(line)} bytes — trim it"
+    print(line)
     sys.stdout.flush()
+    os.makedirs("BENCH", exist_ok=True)
+    with open(os.path.join("BENCH", "last_run_full.json"), "w") as f:
+        json.dump(result, f, indent=1)
     row = scaling_history_row(result)
     if row:
         append_history(row)

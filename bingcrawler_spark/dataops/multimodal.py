@@ -22,6 +22,7 @@ whole row.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -222,7 +223,10 @@ def decode_stats(media: DataFrame) -> DataFrame:
             for mid, kind, blob in zip(pdf["media_id"], pdf["kind"], pdf["media"]):
                 try:
                     d = decode_media(bytes(blob or b""), kind)
-                except NotImplementedError:
+                except (NotImplementedError, ValueError, struct.error):
+                    # unsupported codec OR corrupt/truncated payload (bad
+                    # PPM header, short WAV fmt chunk, …) — either way this
+                    # row gets decoded=0 instead of failing the Spark task
                     d = None
                 rows["media_id"].append(int(mid))
                 rows["kind"].append(kind)

@@ -68,7 +68,10 @@ MIN_TOKEN_SIZE = 3
 DEFAULT_WEIGHT = 100
 HOME_PAGE_WEIGHT = DEFAULT_WEIGHT - 10
 
-_HREF_ANCHORED_RE = re.compile(r'^a.+?href="(.+?)"')
+# word-boundary href: jsoup's attr("href") reads the href attribute itself,
+# so `<a data-href="u1" href="u2">` must yield u2 — a bare `href="` scan
+# would hit the data-href suffix first
+_HREF_ANCHORED_RE = re.compile(r'(?:^|\s)href="(.*?)"')
 
 _TENDER_HOST = "www.chinazbcgou.com.cn"
 _SEARCH_HOST = "www.baidu.com"
@@ -132,9 +135,9 @@ def _anchors(seeds: list) -> list[tuple[str, str]]:
     """All a[href] nodes (jsoup ``doc.select("a[href]")``) in document
     order, as (href, text) pairs."""
     out: list[tuple[str, str]] = []
-    for a in _walk(
-        seeds, lambda n: n.text.startswith("a") and 'href="' in n.text, True
-    ):
+    # exact tag-name match (jsoup `a[href]`): `n.text.startswith("a")`
+    # would also catch area/abbr/audio tags
+    for a in _walk(seeds, lambda n: n.name == "a" and 'href="' in n.text, True):
         m = _HREF_ANCHORED_RE.search(a.text)
         if m:
             out.append((m.group(1), _plain_text(a).strip()))
@@ -198,7 +201,7 @@ def py_parse_search_candidates(html: str | None) -> list[dict] | None:
         ):
             a = _find_first(
                 [container],
-                lambda n: n.text.startswith("a") and 'href="' in n.text,
+                lambda n: n.name == "a" and 'href="' in n.text,
             )
             if a is None:
                 continue

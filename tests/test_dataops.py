@@ -352,3 +352,20 @@ def test_decode_stats_matches_id_arithmetic(docs):
     small = MM.resize_images(media, width=4, height=3).collect()
     assert small and all(
         MM.decode_media(bytes(r.media), "image")["width"] == 4 for r in small)
+
+
+def test_decode_stats_survives_corrupt_payloads(spark):
+    """One corrupt/truncated blob must not fail the Spark task: every
+    unparseable payload (bad header, truncated raster, short fmt chunk,
+    unknown magic) yields decoded=0, and the good row still decodes."""
+    rows = [
+        (0, "image", bytearray(MM.encode_ppm(4, 3, 50))),        # good
+        (1, "image", bytearray(b"P6\n not a header")),           # ValueError
+        (2, "image", bytearray(MM.encode_ppm(8, 6, 9)[:-10])),   # truncated
+        (3, "audio", bytearray(b"RIFF\x04\x00\x00\x00WAVEfmt ")),  # short fmt
+        (4, "audio", bytearray(b"\x00\x01\x02")),                # garbage
+        (5, "image", bytearray(b"\x89PNG....")),                 # NotImplemented
+    ]
+    df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
+    out = {r.media_id: r.decoded for r in MM.decode_stats(df).collect()}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}

@@ -118,3 +118,20 @@ def test_classify_result_via_message(spark):
         "http://result.example/1/0": "result",
         "http://x.example/y": "other",
     }
+
+
+def test_anchor_matching_is_jsoup_exact():
+    """jsoup a[href] / attr("href") parity on real-world shapes the
+    synthetic pages never produce: a data-href attribute before href must
+    not win, and area/abbr/audio tags must not count as anchors."""
+    html = (
+        "<html><body>"
+        '<a data-href="display.php?id=1" href="display.php?id=2">two</a>'
+        '<area href="display.php?id=3">'
+        '<abbr href="display.php?id=4">abbr</abbr>'
+        "</body></html>"
+    )
+    out = TP.py_parse_home(html)
+    assert [o["href"] for o in out] == [
+        TP.URL_TENDER_HOMEPAGE + "/display.php?id=2"
+    ]

@@ -14,9 +14,13 @@ shape the synth writer emits — the extraction matches PDFTextStripper's
 text-per-line output: one emitted line per line move, lines joined by
 newline with a trailing newline.
 
-Compressed (``/FlateDecode``) streams are out of scope of the subset and
-yield no text, matching the reference's catch-and-skip on unreadable
-files (ProfileSimHashTask.java:115-119).
+``/FlateDecode`` content streams are inflated with ``zlib`` before the
+scan — PDFBox reads compressed streams natively (PdfBox.java:15-48), and
+virtually every real paper PDF compresses its content, so capability
+parity requires reading them, not skipping them.  Streams carrying any
+OTHER filter (``/DCTDecode`` images etc.) are skipped, and files that
+fail to parse at all yield ``None``, matching the reference's
+catch-and-skip on unreadable files (ProfileSimHashTask.java:115-119).
 
 ``synth_pdf_bytes`` is the deterministic inverse used by tests and the s7
 driver oracle: it writes a structurally complete PDF (header, catalog,
@@ -28,13 +32,52 @@ end-to-end on real file bytes.
 from __future__ import annotations
 
 import re
+import zlib
 
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_STREAM_START_RE = re.compile(rb"(?<!end)stream\r?\n")
+# direct /Length only — an indirect '/Length 5 0 R' falls through to the
+# endstream scan
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _OCTAL = "01234567"
+
+
+def _iter_stream_bodies(data: bytes):
+    """Yield decoded stream bodies in document order.
+
+    The stream dict is the innermost ``<< ... >>`` immediately before the
+    ``stream`` keyword.  A direct ``/Length`` slices the body exactly —
+    required for Flate streams, whose compressed bytes may legally contain
+    the word ``endstream`` — with an ``endstream`` scan as the fallback.
+    ``/FlateDecode`` bodies are inflated; bodies under any other filter
+    are skipped (images, embedded fonts)."""
+    pos = 0
+    while True:
+        m = _STREAM_START_RE.search(data, pos)
+        if not m:
+            return
+        start = m.end()
+        dict_end = data.rfind(b">>", 0, m.start())
+        dict_start = data.rfind(b"<<", 0, dict_end) if dict_end != -1 else -1
+        d = data[dict_start:dict_end] if dict_start != -1 else b""
+        lm = _LENGTH_RE.search(d)
+        if lm:
+            end = start + int(lm.group(1))
+            body = data[start:end]
+        else:
+            end = data.find(b"endstream", start)
+            if end == -1:
+                end = len(data)
+            body = data[start:end]
+        pos = end
+        if b"/FlateDecode" in d:
+            body = zlib.decompress(body)
+        elif b"/Filter" in d:
+            continue
+        yield body
 
 
 # ------------------------------------------------------------------ parser
@@ -104,9 +147,9 @@ def _scan_content(s: str):
 
 
 def py_pdf_text(data: bytes | None) -> str | None:
-    """getText twin for the uncompressed subset: walk every content
-    stream's text operators in document order.  Unreadable input → None
-    (the reference's catch-and-continue)."""
+    """getText twin: walk every content stream's text operators in
+    document order, inflating /FlateDecode streams.  Unreadable input →
+    None (the reference's catch-and-continue)."""
     if data is None:
         return None
     try:
@@ -114,8 +157,8 @@ def py_pdf_text(data: bytes | None) -> str | None:
             return None
         lines: list[str] = []
         cur: list[str] = []
-        for m in _STREAM_RE.finditer(data):
-            body = m.group(1).decode("latin-1")
+        for raw in _iter_stream_bodies(data):
+            body = raw.decode("latin-1")
             last: str | None = None
             arr: list[str] | None = None
             for kind, val in _scan_content(body):
@@ -161,10 +204,12 @@ def _esc(s: str) -> str:
 def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
     """Write a complete single-page PDF showing ``lines`` top-to-bottom.
 
-    ``variant`` varies WHICH show operators are exercised without changing
-    the extracted text: bit 0 set → line 1 (if present) is emitted as a
+    ``variant`` varies HOW the file is encoded without changing the
+    extracted text: bit 0 set → line 1 (if present) is emitted as a
     mid-line-split ``TJ`` array; bit 1 set → line 2 (if present) uses the
-    ``'`` (next-line-show) operator instead of ``T* ... Tj``."""
+    ``'`` (next-line-show) operator instead of ``T* ... Tj``; bit 2 set →
+    the content stream is Flate-compressed (``/Filter /FlateDecode``),
+    the form virtually every real paper PDF takes."""
     ops: list[str] = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
     for i, ln in enumerate(lines):
         use_tj = i == 1 and (variant & 1)
@@ -183,13 +228,17 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
             ops.append(f"({_esc(ln)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")
+    filters = b""
+    if variant & 4:
+        content = zlib.compress(content)
+        filters = b" /Filter /FlateDecode"
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(content)).encode()
+        b"<< /Length " + str(len(content)).encode() + filters
         + b" >>\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]

@@ -8,11 +8,35 @@ LINES = ["alpha beta gamma", "delta (a\\b) () eps", "zeta eta", "theta"]
 
 
 def test_roundtrip_all_variants():
-    """Tj, TJ-array split, and ' (next-line-show) all extract the same
-    text; escapes for parens and backslash survive."""
+    """Tj, TJ-array split, ' (next-line-show), and /FlateDecode
+    compression (variant bit 2) all extract the same text; escapes for
+    parens and backslash survive."""
     want = "\n".join(LINES) + "\n"
-    for v in range(4):
+    for v in range(8):
         assert py_pdf_text(synth_pdf_bytes(LINES, v)) == want
+
+
+def test_flate_stream_handling():
+    """Compressed PDFs really are compressed (raw operators absent from
+    the file bytes), corrupt Flate data → None, and a stream under a
+    non-Flate filter is skipped rather than scanned as garbage."""
+    import zlib
+
+    pdf = synth_pdf_bytes(LINES, 4)
+    assert b"/Filter /FlateDecode" in pdf
+    assert b"Tj" not in pdf.split(b"stream\n")[1].split(b"\nendstream")[0]
+    # corrupt the deflate body -> unreadable file -> None
+    body = pdf.split(b"stream\n")[1].split(b"\nendstream")[0]
+    assert py_pdf_text(pdf.replace(body, b"\x00" * len(body))) is None
+    # a DCTDecode (image) stream must be skipped, not decoded
+    img = zlib.compress(b"BT (ghost) Tj ET")
+    mixed = (
+        b"%PDF-1.4\n1 0 obj << /Length " + str(len(img)).encode()
+        + b" /Filter /DCTDecode >> stream\n" + img + b"\nendstream endobj\n"
+        b"2 0 obj << /Length 15 >> stream\nBT (real) Tj ET\nendstream endobj\n"
+        b"%%EOF"
+    )
+    assert py_pdf_text(mixed) == "real\n"
 
 
 def test_string_escapes():

@@ -265,7 +265,12 @@ class CrawlEngine:
         )
 
     def metrics(self) -> DataFrame:
-        rows = [r for r in self.store.read_rows("wave_metrics") if r["wave"] > 0]
+        fields = [f.name for f in METRICS_SCHEMA.fields]
+        rows = [
+            {k: r.get(k) for k in fields}
+            for r in self.store.read_rows("wave_metrics")
+            if r["wave"] > 0
+        ]
         return self.spark.createDataFrame(rows, METRICS_SCHEMA) if rows else (
             self.spark.createDataFrame([], METRICS_SCHEMA)
         )
@@ -285,6 +290,19 @@ class CrawlEngine:
 
     def run_wave(self) -> dict:
         t0 = time.time()
+        # optional per-stage wall clocks (SPARK_GRAFT_WAVE_TIMING=1): each
+        # entry brackets one Spark ACTION, so the sum ≈ wave wall and the
+        # residual is driver-side orchestration — the constant the scaling
+        # analysis in BENCH/SUBMIT_SCALING.md needs to attribute.
+        timing: dict[str, float] | None = (
+            {} if os.environ.get("SPARK_GRAFT_WAVE_TIMING") else None
+        )
+        _tm = time.time
+
+        def _mark(key: str, since: float) -> None:
+            if timing is not None:
+                timing[key] = round(_tm() - since, 3)
+
         wave = self.wave + 1
         # mid-wave-kill recovery: a wave commits seen delta → frontier →
         # ref_edges → metrics row, and the FRONTIER commit is the wave's
@@ -311,7 +329,9 @@ class CrawlEngine:
         # UDFs below use every core, then cache (it feeds fetch, settle AND
         # removal)
         top = top.repartition(self.cfg.n_partitions).cache()
+        _t = _tm()
         n_popped = top.count()
+        _mark("pop_count", _t)
         if n_popped == 0:
             return {"wave": wave, "n_popped": 0, "done": True}
 
@@ -356,6 +376,7 @@ class CrawlEngine:
         n_delta = max(1, self.cfg.n_partitions // 4)
         settled = FR.settle(parsed, None, wave)
         obs_settle = Observation(f"settle_w{wave}")
+        _t = _tm()
         self.store.append(
             "seen",
             settled.observe(
@@ -364,6 +385,7 @@ class CrawlEngine:
             ).coalesce(n_delta),
             wave,
         )
+        _mark("seen_append", _t)
         # existence checks below must see this wave's settled rows too
         seen_now = seen.unionByName(settled)
 
@@ -416,8 +438,12 @@ class CrawlEngine:
         )
 
         # commits (atomic snapshot per table, per wave)
+        _t = _tm()
         frontier_snap = self.store.commit("frontier", frontier_final, wave)
+        _mark("frontier_commit", _t)
+        _t = _tm()
         self.store.append("ref_edges", edges.coalesce(n_delta), wave)
+        _mark("edges_append", _t)
 
         # harvest the observed counts (all fired by the writes above —
         # the whole wave normally runs top.count + 3 write jobs, nothing
@@ -435,6 +461,7 @@ class CrawlEngine:
         # bloom delta: OR in ONLY this wave's new urls (read back from the
         # committed snapshot — a bounded-frontier scan, no shuffle)
         if self.cfg.use_bloom and self._bloom is not None and n_new > 0:
+            _t = _tm()
             self._bloom.add_df(
                 self.store.read("frontier")
                 .where(F.col("discovery_wave") == wave)
@@ -442,6 +469,7 @@ class CrawlEngine:
                 "url",
             )
             self._bloom_items += int(n_new)
+            _mark("bloom_delta", _t)
         # per-partition lineage (north rule): how balanced is the frontier
         # across its partitions after the salted repartition?  Read from
         # the committed snapshot's parquet FOOTERS (one row-count per file
@@ -459,6 +487,8 @@ class CrawlEngine:
             "max_partition_rows": max_part,
             "wall_s": time.time() - t0,
         }
+        if timing is not None:
+            row["stage_s"] = timing
         self.store.log_row("wave_metrics", row)
         top.unpersist()
         parsed.unpersist()

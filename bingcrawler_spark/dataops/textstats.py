@@ -332,3 +332,50 @@ def repetition_stats_sql(
     FROM (SELECT {id_col}, {text_col}, {grams(2)} AS g2, {grams(3)} AS g3
           FROM ({docs_sql}))
     """
+
+
+# ------------------------------------------------------------- PII scrubbing
+
+
+# One pattern per PII class, shared verbatim by both engines (the subset of
+# regex syntax below — classes, bounded repeats, \d, \b — means the same
+# thing to Java's engine (Spark) and RE2 (DuckDB)).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+}
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """PII scrubbing (the P15 scrubber family generalized to training-data
+    hygiene, as in C4/Dolma preprocessing): replace emails, IPv4 addresses
+    and NNN-NNN-NNNN phone numbers with typed placeholders, and count each
+    class.  Patterns apply in fixed order (email → ip → phone) so a
+    placeholder never partially re-matches a later pattern.
+
+    Pure JVM column expressions — per-row, shuffle-free at any scale.  The
+    redacted text is emitted as md5 so the driver's value-hash compare
+    stays compact and byte-exact."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("long").alias(f"n_{k}")
+        for k, (pat, _) in PII_PATTERNS.items()
+    ]
+    red = F.col(text_col)
+    for pat, rep in PII_PATTERNS.values():
+        red = F.regexp_replace(red, pat, rep)
+    return docs.select(F.col(id_col), *counts, F.md5(red).alias("redacted_md5"))
+
+
+def pii_redact_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id") -> str:
+    counts = ", ".join(
+        f"len(regexp_extract_all({text_col}, '{pat}'))::BIGINT AS n_{k}"
+        for k, (pat, _) in PII_PATTERNS.items()
+    )
+    red = text_col
+    for pat, rep in PII_PATTERNS.values():
+        red = f"regexp_replace({red}, '{pat}', '{rep}', 'g')"
+    return f"""
+    SELECT {id_col}, {counts}, md5({red}) AS redacted_md5
+    FROM ({docs_sql})
+    """

@@ -1916,6 +1916,59 @@ def ts_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+# ---- PII-injected corpus (identical derivation in both engines): the
+# synthetic documents carry no emails/phones/IPs, so deterministic ones are
+# appended by doc_id residue — the redactor then has real positives to hit.
+_DOCS_PII_SQL = """
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || doc_id || '@mail.example' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN ' call 415-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.0.' || (doc_id % 256) || '.' || (doc_id % 254 + 1)
+              ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def _docs_with_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                k % 7 == 0,
+                F.concat(F.lit(" contact user"), s(k), F.lit("@mail.example")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 11 == 0,
+                F.concat(F.lit(" call 415-555-"), F.lpad(s(k % 10000), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                k % 13 == 0,
+                F.concat(
+                    F.lit(" from 10.0."), s(k % 256), F.lit("."), s(k % 254 + 1)
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+
+
+@register("ts_pii_redact", TS.pii_redact_sql(_DOCS_PII_SQL))
+def ts_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over a corpus with planted emails / phone numbers /
+    IPv4 addresses: per-class counts + md5 of the redacted text.  Pure
+    regexp column expressions — per-row, shuffle-free at any scale."""
+    return TS.pii_redact(_docs_with_pii(spark, sf_dir))
+
+
 @register("dd_chunk_dedup", DD.chunk_dedup_sql(_DOCS_SQL))
 def dd_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup (the C4 three-sentence-span rule over
@@ -2509,3 +2562,36 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("o_custkey", "o_orderkey", "rank")
     )
+
+
+# =====================================================================
+# Driver scheduling order
+# =====================================================================
+# The per-round CORRECTNESS check covers queries in registration order and
+# stopped at 50 of 63 in round 2, so definition order above is NOT the
+# order we want the driver to see.  Re-key the catalogs so the queries
+# with no round-2 driver row run first (never-driver-checked ones at the
+# very front), followed by everything the driver already re-verified,
+# in original order.
+_CHECK_FIRST = [
+    # never driver-checked (new this round / judge-verified locally only)
+    "ts_pii_redact",
+    "mm_decode_roundtrip",
+    "p15_scrub_filename",
+    "s7_pdf_text",
+    # r1-green but missing a round-2 row
+    "p3_unescape_entities",
+    "p6_charset_sniff",
+    "s6_download_first_hit",
+    "agg_pricing_summary",
+    "join_supply_chain",
+    "window_top_orders_per_cust",
+    "ev_tumbling",
+    "ev_sessionize",
+    "ev_running_total",
+    "crawl_3waves",
+]
+assert set(_CHECK_FIRST) <= set(QUERIES), sorted(set(_CHECK_FIRST) - set(QUERIES))
+_ORDER = _CHECK_FIRST + [n for n in QUERIES if n not in _CHECK_FIRST]
+QUERIES = {n: QUERIES[n] for n in _ORDER}
+ORACLES = {n: ORACLES[n] for n in _ORDER if n in ORACLES}

@@ -369,3 +369,48 @@ def test_decode_stats_survives_corrupt_payloads(spark):
     df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
     out = {r.media_id: r.decoded for r in MM.decode_stats(df).collect()}
     assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+
+
+def test_pii_redact_hand_vectors(spark):
+    rows = [
+        (1, "mail me at a.b+c@site.example or 10.1.2.3 and 415-555-0100 now"),
+        (2, "no pii here at all"),
+        (3, "two mails x@y.io z@w.ai one ip 255.255.255.255"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r.asDict() for r in TS.pii_redact(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ip"], got[1]["n_phone"]) == (1, 1, 1)
+    assert (got[2]["n_email"], got[2]["n_ip"], got[2]["n_phone"]) == (0, 0, 0)
+    assert (got[3]["n_email"], got[3]["n_ip"], got[3]["n_phone"]) == (2, 1, 0)
+    red1 = "mail me at <EMAIL> or <IP> and <PHONE> now"
+    assert got[1]["redacted_md5"] == hashlib.md5(red1.encode()).hexdigest()
+    red2 = "no pii here at all"
+    assert got[2]["redacted_md5"] == hashlib.md5(red2.encode()).hexdigest()
+
+
+def test_pii_redact_matches_duckdb(spark):
+    import duckdb
+    import pandas as pd
+
+    duck = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "ping root@box.example from 192.168.0.1",
+                "call 650-555-0199 or 650-555-0200",
+                "plain words only",
+            ],
+        }
+    )
+    duck.register("pii_docs", pdf)
+    want = duck.sql(
+        TS.pii_redact_sql("SELECT doc_id, text FROM pii_docs")
+    ).df().sort_values("doc_id")
+    got = (
+        TS.pii_redact(spark.createDataFrame(pdf))
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    for col in ["n_email", "n_ip", "n_phone", "redacted_md5"]:
+        assert list(got[col]) == list(want[col]), col

@@ -329,10 +329,13 @@ class CrawlEngine:
         # UDFs below use every core, then cache (it feeds fetch, settle AND
         # removal)
         top = top.repartition(self.cfg.n_partitions).cache()
-        _t = _tm()
-        n_popped = top.count()
-        _mark("pop_count", _t)
-        if n_popped == 0:
+        # n_popped is NOT counted here: it rides the settle write's
+        # observe() below, merging the pop job into the first write job —
+        # one less Spark action per wave (the per-wave driver constant is
+        # what caps full-loop scaling efficiency, BENCH/SUBMIT_SCALING.md).
+        # The only lost fast path is the empty-pop wave, handled after the
+        # write by rolling the (empty) delta back — termination-only cost.
+        if sizes["frontier"] <= 0 and wave > 1:
             return {"wave": wave, "n_popped": 0, "done": True}
 
         # fetch: the pages table is the 100 TB side — never shuffle it.
@@ -382,10 +385,20 @@ class CrawlEngine:
             settled.observe(
                 obs_settle,
                 F.sum((F.col("status") < 0).cast("long")).alias("n_failed"),
+                F.count(F.lit(1)).alias("n_popped"),
             ).coalesce(n_delta),
             wave,
         )
         _mark("seen_append", _t)
+        n_popped = _harvest(obs_settle, "n_popped", top.count)
+        if n_popped == 0:
+            # politeness/min-weight filtered the whole frontier: the crawl
+            # is done.  The empty delta just appended must not survive —
+            # roll it back so a resumed run re-decides cleanly.
+            self.store.rollback_to_wave("seen", wave - 1)
+            top.unpersist()
+            parsed.unpersist()
+            return {"wave": wave, "n_popped": 0, "done": True}
         # existence checks below must see this wave's settled rows too
         seen_now = seen.unionByName(settled)
 

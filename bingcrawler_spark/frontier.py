@@ -294,6 +294,19 @@ def dedup_insert(
     existing_all = frontier_rest.select("url").unionByName(seen.select("url"))
     # (not de-duplicated — merge_referrers collect_sets at read time, and a
     # distinct here would cost an extra shuffle in the wave hot path)
+    #
+    # existence joins vs existing_all are HINTED shuffle-hash, never
+    # broadcast: existing_all is O(state) — at 10^10-URL frontier scale it
+    # can't broadcast, and even in-sandbox (where it fits under the 64 MB
+    # threshold) Catalyst's broadcast choice collects the whole state URL
+    # set to the driver and rebuilds the broadcast in EVERY action that
+    # traverses this plan (edges append + frontier commit per wave) — a
+    # per-wave latency constant that grows with |state| and caps N→4N
+    # scaling (measured: 1-2.6 s latency-bound broadcast-build stages,
+    # BENCH/SUBMIT_SCALING.md). Shuffle-hash keys both sides by url across
+    # all cores instead; on a cluster with url-hash-bucketed state tables
+    # the state side's exchange is elided entirely.
+    existing_all = existing_all.hint("shuffle_hash")
     edges = cand.join(existing_all, cand.curl == existing_all.url, "left_semi").select(
         F.col("curl").alias("url"),
         "parent_url",

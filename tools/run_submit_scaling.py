@@ -54,7 +54,43 @@ def build_zip() -> str:
     return zip_path
 
 
-def run_one(zip_path: str, cores: int) -> dict:
+def synth_corpus(zip_path: str) -> str:
+    """Write the workload corpus to parquet ONCE (at full host parallelism)
+    so every N/4N leg reads the same bytes instead of re-synthesizing —
+    halves rep wall and removes synth jitter from the comparison. The
+    measured crawl is unchanged: submit_crawl caches + counts the pages
+    table either way before the timed loop starts."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        "scaling_corpus_{synth_pages}_{synth_hosts}_{synth_words}".format(**WORKLOAD),
+    )
+    if os.path.exists(os.path.join(path, "_SUCCESS")):
+        return path
+    cmd = [
+        "spark-submit",
+        "--master",
+        "local[*]",
+        "--py-files",
+        zip_path,
+        "--driver-memory",
+        "8g",
+        os.path.join(HERE, "tools", "submit_crawl.py"),
+        "--warehouse",
+        tempfile.mkdtemp(prefix="synth_wh_"),
+        "--write-pages",
+        path,
+        "--synth-pages",
+        str(WORKLOAD["synth_pages"]),
+        "--synth-hosts",
+        str(WORKLOAD["synth_hosts"]),
+        "--synth-words",
+        str(WORKLOAD["synth_words"]),
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, cwd=HERE, timeout=1800)
+    return path
+
+
+def run_one(zip_path: str, cores: int, pages_path: str | None = None) -> dict:
     wh = tempfile.mkdtemp(prefix=f"submit_wh_{cores}_")
     cmd = [
         "spark-submit",
@@ -84,6 +120,10 @@ def run_one(zip_path: str, cores: int) -> dict:
         str(WORKLOAD["waves"]),
         "--wave-size",
         str(WORKLOAD["wave_size"]),
+    ]
+    if pages_path:
+        cmd += ["--pages", pages_path]
+    cmd += [
         "--synth-pages",
         str(WORKLOAD["synth_pages"]),
         "--synth-hosts",
@@ -139,10 +179,11 @@ def main() -> None:
         )
     factor = x4_cores / n_cores
     zip_path = build_zip()
+    pages_path = synth_corpus(zip_path)
     rows = []
     for rep in range(reps):
-        rn = run_one(zip_path, n_cores)
-        r4 = run_one(zip_path, x4_cores)
+        rn = run_one(zip_path, n_cores, pages_path)
+        r4 = run_one(zip_path, x4_cores, pages_path)
         eff = round(r4["urls_per_sec"] / rn["urls_per_sec"] / factor, 3)
         # wave-composition determinism across parallelism levels
         keys = ("wave", "n_popped", "n_fetched", "n_failed", "n_new", "seen_size")

@@ -42,6 +42,12 @@ def main() -> None:
     ap.add_argument("--seeds", type=int, default=8)
     ap.add_argument("--bloom", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--fresh", action="store_true", help="bootstrap a new crawl")
+    ap.add_argument(
+        "--write-pages",
+        help="synthesize the corpus, write it as parquet to this path, exit "
+        "(lets N-vs-4N scaling reps share one on-disk corpus instead of "
+        "re-synthesizing per leg)",
+    )
     args = ap.parse_args()
 
     # spark-submit owns master/conf; just attach to the provided session
@@ -53,6 +59,14 @@ def main() -> None:
     from bingcrawler_spark.crawler import CrawlConfig, CrawlEngine
     from bingcrawler_spark.statestore import SnapshotStore
     from bingcrawler_spark.synth import robots_df, seed_urls, synth_pages_df
+
+    if args.write_pages:
+        n = args.synth_pages or 8000
+        synth_pages_df(spark, n, args.synth_hosts, n_words=args.synth_words).write.mode(
+            "overwrite"
+        ).parquet(args.write_pages)
+        print(json.dumps({"summary": "write_pages", "path": args.write_pages, "n": n}))
+        return
 
     if args.pages:
         pages = spark.read.parquet(args.pages)

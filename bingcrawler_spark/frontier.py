@@ -175,10 +175,25 @@ def pop_wave(
             .where(F.col("_r2") <= budget)
             .drop("_r1", "_r2", "crawl_budget")
         )
-    # global top-k compiles to TakeOrderedAndProject (no full sort at scale)
-    top = f.orderBy(*_pop_order()).limit(wave_size)
-    w = W.orderBy(*_pop_order())  # k rows only — single partition is fine
-    return top.withColumn("pop_rank", F.row_number().over(w))
+    # global top-k compiles to TakeOrderedAndProject — per-partition top-k
+    # map-side, then ONE task merges n_partitions × k rows.  Feed that
+    # single-task merge the narrowest possible rows — (url, weight) only —
+    # and broadcast the ≤k winners back onto the frontier to recover the
+    # wide columns: referrers arrays / messages maps never pass through the
+    # merge (measured 3-5 s/wave of non-scaling single-task time at
+    # wave_size 65536), and the frontier side joins broadcast-hash with no
+    # shuffle at all.  urls are unique in the frontier (keyed store,
+    # UrlsDbManager semantics), so the equi-join is an exact identity on
+    # the pop set.
+    w = W.orderBy(*_pop_order())  # k narrow rows — single partition is fine
+    ranked = (
+        f.select("url", "weight")
+        .orderBy(*_pop_order())
+        .limit(wave_size)
+        .withColumn("pop_rank", F.row_number().over(w))
+        .select("url", "pop_rank")
+    )
+    return frontier.join(F.broadcast(ranked), "url", "inner")
 
 
 # --------------------------------------------------------------------- F4

@@ -14,8 +14,10 @@ Workload: the cluster-shape wave size (16384) over a 120k-page corpus —
 full-loop median at 0.597.  Wave size is the honest amortization lever:
 cluster waves are 10^7-10^8 urls.
 
-Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores] [wave_size]
-wave_size scales the whole workload proportionally (pages/hosts/seeds).
+Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores] [wave_size] [words]
+wave_size scales the whole workload proportionally (pages/hosts/seeds);
+words sets page body size (default 250; real crawl pages run 10-100 kB of
+html, so larger values are the more realistic per-page parse cost).
 Appends rows to BENCH/submit_scaling.jsonl; summary printed as JSON.
 """
 
@@ -177,6 +179,8 @@ def main() -> None:
             synth_pages=int(WORKLOAD["synth_pages"] * k),
             synth_hosts=int(WORKLOAD["synth_hosts"] * k),
         )
+    if len(sys.argv) > 5:
+        WORKLOAD.update(synth_words=int(sys.argv[5]))
     factor = x4_cores / n_cores
     zip_path = build_zip()
     pages_path = synth_corpus(zip_path)

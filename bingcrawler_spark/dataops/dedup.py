@@ -528,3 +528,128 @@ def decontaminate_sql(
     FROM base b LEFT JOIN cont c USING ({id_col})
     WHERE b.{id_col} % {eval_mod} != 0
     """
+
+
+# ------------------------------------------------------------- dup clusters
+
+
+def dup_clusters(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    pair graph — the step that turns pairwise near-dup hits into "keep one
+    doc per cluster" decisions (the standard final stage of web-scale
+    dedup; pairs alone over-count when A~B, B~C but the pipeline drops
+    both B and C).
+
+    Returns (id_col, cluster_rep, cluster_size) for every doc that appears
+    in at least one verified pair; cluster_rep is the minimum doc id of the
+    component (deterministic canonical choice, same rule as exact_dedup).
+
+    Scale shape: iterative min-label propagation — each round is one
+    O(E) equi-join shuffle plus an id-keyed group-by; rounds needed =
+    graph diameter, and near-dup components are hash-cluster-shaped
+    (diameter a small constant), so the loop converges in a handful of
+    rounds even at 10^10 docs.  Convergence is detected by an observe()-
+    style changed-label count (an O(V) aggregate per round, no collect of
+    rows); every round's label table is persisted and the previous one
+    released, so lineage stays one-round deep — the Pregel pattern
+    (Malewicz et al. 2010) / large-star convergence argument (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond").
+    """
+    pairs = minhash_lsh_pairs(
+        docs,
+        k=k,
+        bands=bands,
+        min_jaccard_pct=min_jaccard_pct,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("doc_a", "doc_b")
+    # symmetric edge list; persisted — every round joins against it
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        # min over {own label} ∪ {neighbors' labels}
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "src"), "src"
+        ).select(F.col("dst").alias("node"), "label")
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .where(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_rep"),
+        F.col("cluster_size").cast("long"),
+    )
+    edges.unpersist()
+    return out
+
+
+def dup_clusters_sql(
+    docs_sql: str,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB oracle: transitive closure by recursive CTE (UNION dedup
+    terminates it), then min-reachable-id per node — independent of the
+    Spark-side propagation loop."""
+    pairs = minhash_lsh_pairs_sql(
+        docs_sql,
+        k=k,
+        bands=bands,
+        min_jaccard_pct=min_jaccard_pct,
+        text_col=text_col,
+        id_col=id_col,
+    )
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+    ),
+    lab AS (SELECT node, MIN(r) AS cluster_rep FROM reach GROUP BY node)
+    SELECT node AS {id_col}, cluster_rep,
+           COUNT(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
+    FROM lab
+    """

@@ -32,6 +32,7 @@ from bingcrawler_spark.functions import bingparse as BP
 from bingcrawler_spark.functions import tenderparse as TP
 from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
+from bingcrawler_spark.dataops import sampling as DS
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
@@ -2009,6 +2010,34 @@ def dd_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id % 50 == 0), over a corpus with planted leakage.  Eval gram
     md5s broadcast; the train corpus never shuffles."""
     return DD.decontaminate(_docs_with_contamination(spark, sf_dir))
+
+
+@register("dd_dup_clusters", DD.dup_clusters_sql(_DOCS_SQL))
+def dd_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH pair
+    graph (min-label propagation, O(E)-shuffle rounds bounded by component
+    diameter) — the keep-one-per-cluster step downstream of dd_minhash_lsh.
+    Oracle: DuckDB recursive-CTE transitive closure, an independent
+    algorithm over the same pair graph."""
+    return DD.dup_clusters(_t(spark, sf_dir, "documents"))
+
+
+_MIXTURE_RATES = {"src0": 1000, "src1": 500, "src2": 250, "src3": 125}
+
+
+@register(
+    "ds_domain_mixture",
+    DS.domain_mixture_sql(
+        "SELECT doc_id, source FROM documents", _MIXTURE_RATES, default_rate=63
+    ),
+)
+def ds_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified mixture sampling: per-source per-mille
+    rates over an md5-derived bucket — reproducible across runs/engines,
+    monotone under rate raises, shuffle-free (per-row expressions only)."""
+    return DS.domain_mixture(
+        _t(spark, sf_dir, "documents"), _MIXTURE_RATES, default_rate=63
+    )
 
 
 @register(

@@ -179,7 +179,17 @@ def synth_pages_df(
                 continue
             yield pd.DataFrame([page_row(i, n_pages, n_hosts, n_words) for i in ids])
 
-    rng = spark.range(0, n_pages, 1, partitions or spark.sparkContext.defaultParallelism)
+    if partitions is None:
+        # size partitions by OUTPUT bytes, not core count: each generated
+        # page is ~8 bytes/word of html, and a whole partition's rows pass
+        # through one Arrow batch pipeline — 32 fat tasks of a 480k x 1000w
+        # corpus exceed the JVM's direct-memory pool.  Cap ~64 MB per task
+        # (the spark.sql.files.maxPartitionBytes convention).
+        est_bytes = n_pages * max(n_words, 1) * 8
+        partitions = max(
+            spark.sparkContext.defaultParallelism, est_bytes // (64 << 20) + 1
+        )
+    rng = spark.range(0, n_pages, 1, partitions)
     return rng.mapInPandas(gen, PAGES_SCHEMA)
 
 

@@ -414,3 +414,59 @@ def test_pii_redact_matches_duckdb(spark):
     )
     for col in ["n_email", "n_ip", "n_phone", "redacted_md5"]:
         assert list(got[col]) == list(want[col]), col
+
+
+def test_dup_clusters_transitive_closure(spark):
+    """A~B and B~C near-dups must land in ONE cluster with rep=min id,
+    even when A and C never share a band; isolated docs produce no row."""
+    # three near-identical docs forming a chain + one unrelated doc
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, base + " tail one"),
+        (2, base + " tail two"),
+        (3, base + " tail tri"),
+        (9, " ".join(f"z{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in DD.dup_clusters(df, min_jaccard_pct=50).collect()}
+    assert set(out) == {1, 2, 3}
+    assert all(out[d].cluster_rep == 1 for d in (1, 2, 3))
+    assert all(out[d].cluster_size == 3 for d in (1, 2, 3))
+
+
+def test_dup_clusters_matches_recursive_oracle(docs):
+    """Spark min-label propagation == DuckDB recursive-CTE closure on the
+    real sf corpus."""
+    import duckdb
+
+    spark_rows = sorted(
+        tuple(r) for r in DD.dup_clusters(docs).collect()
+    )
+    pdf = docs.select("doc_id", "text").toPandas()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = sorted(
+        tuple(r)
+        for r in con.sql(
+            DD.dup_clusters_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert spark_rows == oracle
+
+
+def test_domain_mixture_deterministic_and_monotone(docs):
+    """Same input → same kept set; raising a rate only ADDS docs; rate
+    1000 keeps every doc of the source; rate 0 keeps none."""
+    from bingcrawler_spark.dataops import sampling as DS
+
+    lo = DS.domain_mixture(docs, {"src0": 1000, "src1": 200}, default_rate=0)
+    hi = DS.domain_mixture(docs, {"src0": 1000, "src1": 600}, default_rate=0)
+    lo_ids = {r.doc_id for r in lo.collect()}
+    lo_ids2 = {r.doc_id for r in lo.collect()}
+    hi_ids = {r.doc_id for r in hi.collect()}
+    assert lo_ids == lo_ids2  # deterministic across actions
+    assert lo_ids <= hi_ids  # monotone under rate raise
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    kept_src0 = lo.where(F.col("source") == "src0").count()
+    assert kept_src0 == n_src0  # rate 1000 = keep all
+    assert lo.where(~F.col("source").isin("src0", "src1")).count() == 0

@@ -69,13 +69,16 @@ def main() -> None:
         return
 
     if args.pages:
+        # parquet-backed corpus: scan it per wave like a cluster scans a
+        # 100 TB pages table — pinning it in executor memory is neither
+        # possible at scale nor necessary (the count below is metadata-only)
         pages = spark.read.parquet(args.pages)
         n_hosts = args.synth_hosts
     else:
         n = args.synth_pages or 8000
         n_hosts = args.synth_hosts
-        pages = synth_pages_df(spark, n, n_hosts, n_words=args.synth_words)
-    pages = pages.cache()
+        # synthesized corpus: cache, else every wave re-generates it
+        pages = synth_pages_df(spark, n, n_hosts, n_words=args.synth_words).cache()
     n_pages = pages.count()
 
     store = SnapshotStore(spark, args.warehouse)

@@ -335,6 +335,13 @@ class CrawlEngine:
         # UDFs below use every core, then cache (it feeds fetch, settle AND
         # removal)
         top = top.repartition(self.cfg.n_partitions).cache()
+        if timing is not None:
+            # measurement-only extra action: materialize the pop cache by
+            # itself so t_pop_topk isolates the top-k (merge task included)
+            # from the parse+write it otherwise rides under
+            _t = _tm()
+            top.count()
+            _mark("pop_topk", _t)
         # n_popped is NOT counted here: it rides the settle write's
         # observe() below, merging the pop job into the first write job —
         # one less Spark action per wave (the per-wave driver constant is
@@ -474,17 +481,30 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url"), F.lit(8)),
         )
 
-        # commits (atomic snapshot per table, per wave)
-        _t = _tm()
-        frontier_snap = self.store.commit("frontier", frontier_final, wave)
-        _mark("frontier_commit", _t)
-        _t = _tm()
+        # commits (atomic snapshot per table, per wave).  The edges append
+        # runs CONCURRENTLY with the frontier commit: both only read the
+        # cand cache (block-level locks dedupe any shared recompute), Spark's
+        # scheduler is thread-safe, and recovery order still holds — an
+        # edges delta that lands while the frontier commit dies is exactly
+        # the "delta ahead of the commit point" case the resume rollback
+        # already removes.  Overlapping the two hides one action's planning
+        # + commit latency (a per-wave constant that executor count cannot
+        # reduce — the full-loop N→4N scaling cap, BENCH/SUBMIT_SCALING.md).
         # repartition, not coalesce, for the same reason as the seen delta:
         # coalesce would collapse the dedup-insert join stage that computes
         # the edges to n_delta tasks; edge rows are narrow, the exchange is
         # cheap.
-        self.store.append("ref_edges", edges.repartition(n_delta), wave)
-        _mark("edges_append", _t)
+        from concurrent.futures import ThreadPoolExecutor
+
+        _t = _tm()
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            edges_fut = pool.submit(
+                self.store.append, "ref_edges", edges.repartition(n_delta), wave
+            )
+            frontier_snap = self.store.commit("frontier", frontier_final, wave)
+            _mark("frontier_commit", _t)
+            edges_fut.result()
+        _mark("edges_overlap", _t)
 
         # harvest the observed counts (all fired by the writes above —
         # the whole wave normally runs top.count + 3 write jobs, nothing

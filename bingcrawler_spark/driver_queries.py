@@ -2604,6 +2604,8 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "dd_dup_clusters",
+    "ds_domain_mixture",
     "ts_pii_redact",
     "mm_decode_roundtrip",
     "p15_scrub_filename",

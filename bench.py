@@ -465,7 +465,9 @@ def write_bench_md(result: dict) -> None:
                 "at two parallelism levels — is evidenced separately in "
                 "`BENCH/SUBMIT_SCALING.md` (full-loop N→4N pairs through the "
                 "real deployment path, identical wave metrics at both "
-                "levels)."
+                "levels; round-3 protocol — wave 65 536, 1 000-word pages, "
+                "post-overlap engine — three-rep median 0.701, per-rep table "
+                "and the wave-131 072 probe in that file)."
             )
     lines += [
         "",

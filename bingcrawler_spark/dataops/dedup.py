@@ -585,6 +585,7 @@ def dup_clusters(
         .withColumn("label", F.col("node"))
         .persist()
     )
+    prev_sum = None
     for _ in range(max_iters):
         # min over {own label} ∪ {neighbors' labels}.  (A pointer-jumping
         # variant — label ← label(label) — was measured 2.6× SLOWER here:
@@ -601,17 +602,15 @@ def dup_clusters(
             .agg(F.min("label").alias("label"))
             .persist()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old"), "node"
-            )
-            .where(F.col("label") != F.col("old"))
-            .count()
-        )
+        # convergence: labels are per-node MONOTONE NON-INCREASING, so the
+        # fixpoint is reached exactly when sum(label) stops falling — one
+        # O(V) aggregate per round instead of a new-vs-old equi-join
+        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = labels.join(sizes, "label").select(
         F.col("node").alias(id_col),

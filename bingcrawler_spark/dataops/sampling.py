@@ -20,6 +20,7 @@ per source).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
 
 from bingcrawler_spark import xhash as X
 
@@ -82,4 +83,50 @@ def domain_mixture_sql(
     FROM ({docs_sql})
     WHERE {sample_bucket_sql(id_col)} <
           (CASE {source_col} {cases} ELSE {int(default_rate)} END)
+    """
+
+
+def stratified_topk(
+    docs: DataFrame,
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exactly-k-per-stratum sampling: within each source, keep the k docs
+    with the smallest (bucket, id) — a deterministic, engine-independent
+    "random" k because the bucket is an md5 hash of the id.  The complement
+    of rate-based `domain_mixture`: use this when the mixture spec is
+    COUNTS (e.g. "500 M tokens per source") rather than rates.
+
+    Scale shape: one shuffle on the stratum key; rank-
+    within-group compiles to WindowGroupLimit, so each partition keeps only
+    k rows before the exchange — no stratum ever materializes whole."""
+    w = W.partitionBy(source_col).orderBy(
+        sample_bucket_col(id_col), F.col(id_col)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            F.col(source_col),
+            sample_bucket_col(id_col).alias("bucket"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def stratified_topk_sql(
+    docs_sql: str,
+    k: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> str:
+    b = sample_bucket_sql(id_col)
+    return f"""
+    SELECT {id_col}, {source_col}, bucket, rk FROM (
+      SELECT {id_col}, {source_col}, {b} AS bucket,
+             row_number() OVER (PARTITION BY {source_col}
+                                ORDER BY {b}, {id_col})::INT AS rk
+      FROM ({docs_sql})
+    ) WHERE rk <= {k}
     """

@@ -2041,6 +2041,17 @@ def ds_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ds_stratified_topk",
+    DS.stratified_topk_sql("SELECT doc_id, source FROM documents", 7),
+)
+def ds_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling (count-based mixture
+    spec): smallest (md5-bucket, id) per source; rank-within-group compiles
+    to WindowGroupLimit so no stratum materializes whole."""
+    return DS.stratified_topk(_t(spark, sf_dir, "documents"), 7)
+
+
+@register(
     "mm_media_metadata",
     """
     SELECT doc_id::BIGINT AS media_id,
@@ -2606,6 +2617,7 @@ _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
     "dd_dup_clusters",
     "ds_domain_mixture",
+    "ds_stratified_topk",
     "ts_pii_redact",
     "mm_decode_roundtrip",
     "p15_scrub_filename",

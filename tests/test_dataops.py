@@ -470,3 +470,19 @@ def test_domain_mixture_deterministic_and_monotone(docs):
     kept_src0 = lo.where(F.col("source") == "src0").count()
     assert kept_src0 == n_src0  # rate 1000 = keep all
     assert lo.where(~F.col("source").isin("src0", "src1")).count() == 0
+
+
+def test_stratified_topk_exact_counts_and_prefix(docs):
+    """Exactly k rows per source; the k=3 pick is a PREFIX of the k=7 pick
+    (deterministic nested samples); WindowGroupLimit appears in the plan."""
+    from bingcrawler_spark.dataops import sampling as DS
+
+    k7 = DS.stratified_topk(docs, 7)
+    per_src = {r.source: r.n for r in
+               k7.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    n_src = docs.select("source").distinct().count()
+    assert len(per_src) == n_src and all(v == 7 for v in per_src.values())
+    ids3 = {r.doc_id for r in DS.stratified_topk(docs, 3).collect()}
+    ids7 = {r.doc_id for r in k7.collect()}
+    assert ids3 <= ids7
+    assert "WindowGroupLimit" in k7._jdf.queryExecution().executedPlan().toString()

@@ -2170,6 +2170,53 @@ def ev_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_interval_join",
+    """
+    SELECT v.event_id AS view_id, c.event_id AS click_id, v.user_id,
+           (epoch_us(c.ts) - epoch_us(v.ts))::BIGINT AS lag_us
+    FROM events v JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    """,
+)
+def ev_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (click-to-view attribution within 30 min)
+    — the batch shape of streaming.interval_join_stream, where the same
+    range condition is what lets Spark EVICT stream-stream join state."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    e = _t(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    return (
+        v.join(c, "user_id")
+        .where(
+            (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 MINUTES"))
+        )
+        .select(
+            "view_id",
+            "click_id",
+            "user_id",
+            (
+                F.unix_micros(F.col("c_ts").cast("timestamp"))
+                - F.unix_micros(F.col("v_ts").cast("timestamp"))
+            )
+            .cast("long")
+            .alias("lag_us"),
+        )
+    )
+
+
+@register(
     "ev_running_total",
     """
     SELECT event_id, user_id,
@@ -2618,6 +2665,7 @@ _CHECK_FIRST = [
     "dd_dup_clusters",
     "ds_domain_mixture",
     "ds_stratified_topk",
+    "ev_interval_join",
     "ts_pii_redact",
     "mm_decode_roundtrip",
     "p15_scrub_filename",

@@ -10,6 +10,9 @@ crawl/analytics deployment needs, built on Structured Streaming:
   pair is asserted equal in tests/test_streaming.py via availableNow).
 * ``sessionize_stream`` — gap-based sessionization as a custom stateful
   operator over ``applyInPandasWithState`` (maps to `ev_sessionize`).
+* ``dedup_stream`` — exact dedup with watermark-BOUNDED state.
+* ``interval_join_stream`` — stream-stream event-time range join whose
+  condition lets Spark evict join state (maps to `ev_interval_join`).
 * ``stream_events`` / ``run_to_memory`` — file-source plumbing helpers.
 
 Scale notes: watermark bounds state (late events beyond the watermark are
@@ -91,6 +94,52 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     same key; stream==batch asserted in tests/test_streaming.py."""
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+# ---------------------------------------------------- stream-stream join
+
+
+def interval_join_stream(
+    views: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INTERVAL join: every click joins the views of the
+    same user that happened within `horizon` BEFORE it (attribution
+    window).  Both sides carry watermarks and the join condition bounds
+    event-time distance, so Spark can size and EVICT the join state —
+    without the range condition a stream-stream join buffers both streams
+    forever.  Output is append-mode (rows emit once the watermark passes
+    the match window).  Batch twin: the `ev_interval_join` driver query;
+    stream==batch asserted in tests/test_streaming.py."""
+    v = views.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    c = clicks.withWatermark("ts", watermark).select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+    )
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select(
+        "view_id",
+        "click_id",
+        F.col("v_user").alias("user_id"),
+        (
+            F.unix_micros(F.col("c_ts").cast("timestamp"))
+            - F.unix_micros(F.col("v_ts").cast("timestamp"))
+        )
+        .cast("long")
+        .alias("lag_us"),
     )
 
 

@@ -64,3 +64,22 @@ def test_dedup_stream_equals_batch_distinct(spark, sf_dir):
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     assert out.count() == batch.select("event_id").distinct().count()
     assert out.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir):
+    """Stream-stream interval join (click→view attribution) drained with
+    availableNow equals the batch ev_interval_join query; the range
+    condition is what bounds the join state store."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    views = ST.stream_events(spark, events_dir).where(
+        F.col("event_type") == "view"
+    )
+    clicks = ST.stream_events(spark, events_dir).where(
+        F.col("event_type") == "click"
+    )
+    out = ST.run_to_memory(
+        ST.interval_join_stream(views, clicks), "t_ivj", output_mode="append"
+    )
+    batch = DQ.ev_interval_join(spark, sf_dir)
+    cols = ["view_id", "click_id", "user_id", "lag_us"]
+    assert _rows(out, cols) == _rows(batch, cols)

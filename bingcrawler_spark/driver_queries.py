@@ -35,6 +35,7 @@ from bingcrawler_spark.dataops import multimodal as MM
 from bingcrawler_spark.dataops import sampling as DS
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
+from bingcrawler_spark import warc as WARC
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -2096,6 +2097,32 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_stats(MM.pack_media_encoded(_t(spark, sf_dir, "documents")))
 
 
+@register(
+    "src_warc_roundtrip",
+    """
+    SELECT 'https://host' || (doc_id % 32)::VARCHAR || '.example/doc/'
+               || doc_id::VARCHAR AS url,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id::BIGINT),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           200::INT AS http_status,
+           octet_length(encode(text))::BIGINT AS content_length,
+           md5(text) AS body_md5
+    FROM documents
+    """,
+)
+def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-Crawl-style WARC ingestion, both directions: serialize the
+    pages corpus into genuine WARC/1.0 response records grouped into
+    archive blobs (odd blobs per-record-gzip like .warc.gz, even blobs
+    raw), then split + parse the blobs back with the mapInPandas reader
+    that also backs read_warc_dir over binaryFile.  The oracle re-derives
+    every output column arithmetically from `documents`, so writer AND
+    reader byte layouts must both be right for the hash to match."""
+    blobs = WARC.pack_warc(_t(spark, sf_dir, "documents"))
+    return WARC.parse_warc_blobs(blobs)
+
+
 # =====================================================================
 # Event-stream operators (batch equivalents of the streaming module)
 # =====================================================================
@@ -2662,6 +2689,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "src_warc_roundtrip",
     "dd_dup_clusters",
     "ds_domain_mixture",
     "ds_stratified_topk",

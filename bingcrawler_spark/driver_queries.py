@@ -35,6 +35,7 @@ from bingcrawler_spark.dataops import multimodal as MM
 from bingcrawler_spark.dataops import sampling as DS
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
+from bingcrawler_spark import graph as GR
 from bingcrawler_spark import warc as WARC
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
@@ -2098,6 +2099,23 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gr_host_pagerank",
+    GR.host_pagerank_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-authority PageRank (5 damped iterations, int64 fixed point)
+    over a host graph both engines derive identically from `documents` —
+    the link-authority upgrade of the reference's static UrlNode.weight
+    priority (BingCrawlerTask.java frontier pop, SURVEY §2 F1/F5).
+    Integer arithmetic makes the result bit-exact under any
+    partitioning, so the driver hash and a 1000-executor run agree to
+    the last digit."""
+    return GR.host_pagerank(
+        GR.doc_host_edges(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+@register(
     "src_warc_roundtrip",
     """
     SELECT 'https://host' || (doc_id % 32)::VARCHAR || '.example/doc/'
@@ -2689,6 +2707,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "gr_host_pagerank",
     "src_warc_roundtrip",
     "dd_dup_clusters",
     "ds_domain_mixture",

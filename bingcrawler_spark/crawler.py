@@ -42,6 +42,7 @@ from pyspark.sql import types as T
 
 from bingcrawler_spark import frontier as FR
 from bingcrawler_spark.bloom import ShardedBloom
+from bingcrawler_spark.cuckoo import ShardedCuckoo
 from bingcrawler_spark.functions.extract import extract_links_udf, extract_text_udf
 from bingcrawler_spark.functions.simhash import simhash64_udf
 from bingcrawler_spark.statestore import SnapshotStore
@@ -174,6 +175,10 @@ class CrawlConfig:
     use_bloom: bool = False
     bloom_fpp: float = 0.01
     bloom_shards: int = 4
+    # seen-set prefilter structure when use_bloom is on: "bloom"
+    # (ShardedBloom, OR-mergeable deltas) or "cuckoo" (ShardedCuckoo,
+    # 16-bit fingerprints, supports deletion) — the north rule names both
+    filter_kind: str = "bloom"
     child_weight_expr: str | None = None  # SQL expr over `curl`, default 100
     compute_simhash: bool = True
     n_partitions: int = 32  # state-table partitioning (host-hash at scale)
@@ -457,7 +462,12 @@ class CrawlEngine:
                     seen_now.select("url")
                 )
                 est = max(2 * n_existing + 1000, 1)
-                self._bloom = ShardedBloom.build(
+                filter_cls = (
+                    ShardedCuckoo
+                    if self.cfg.filter_kind == "cuckoo"
+                    else ShardedBloom
+                )
+                self._bloom = filter_cls.build(
                     existing, "url", est, self.cfg.bloom_fpp, self.cfg.bloom_shards
                 )
                 self._bloom_items = n_existing

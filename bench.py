@@ -70,6 +70,8 @@ HEADLINE = [
     "s7_pdf_text",
     "ann_ivf_topk",
     "dd_dup_clusters",
+    "gr_host_pagerank",
+    "src_warc_roundtrip",
 ]
 
 

@@ -36,6 +36,7 @@ from bingcrawler_spark.dataops import sampling as DS
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
 from bingcrawler_spark import graph as GR
+from bingcrawler_spark import sitemap as SM
 from bingcrawler_spark import warc as WARC
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
@@ -2099,6 +2100,34 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_sitemap_roundtrip",
+    """
+    SELECT 'url' AS kind,
+           'https://host' || (doc_id % 32)::VARCHAR || '.example/doc/'
+               || doc_id::VARCHAR AS loc,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id::BIGINT),
+                    '%Y-%m-%dT%H:%M:%SZ') AS lastmod,
+           (doc_id % 10)::INT AS priority_e1
+    FROM documents
+    UNION ALL
+    SELECT DISTINCT 'sitemap',
+           'https://host' || (doc_id % 32)::VARCHAR || '.example/sitemap.xml',
+           '', (-1)::INT
+    FROM documents
+    """,
+)
+def src_sitemap_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery channel, both directions: per-host
+    sitemaps.org <urlset> blobs plus one <sitemapindex>, then the
+    namespace-tolerant XML parser expands them back to one row per
+    entry (urls with lastmod/priority deciles; index rows pointing at
+    the per-host sitemaps).  Oracle re-derives both row families
+    arithmetically, so serializer and parser must agree."""
+    return SM.parse_sitemap_blobs(SM.pack_sitemaps(_t(spark, sf_dir, "documents")))
+
+
+@register(
     "gr_host_pagerank",
     GR.host_pagerank_sql("SELECT doc_id, text FROM documents"),
 )
@@ -2707,6 +2736,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "src_sitemap_roundtrip",
     "gr_host_pagerank",
     "src_warc_roundtrip",
     "dd_dup_clusters",

@@ -2100,6 +2100,57 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f13_recrawl_schedule",
+    """
+    WITH f AS (
+      SELECT 'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+               || c_custkey::VARCHAR AS url,
+             'host' || (c_custkey % 40)::VARCHAR || '.example' AS host,
+             (90 + c_custkey % 21)::INT AS weight,
+             (c_custkey % 10 < 3)::INT AS changed
+      FROM customer),
+    rates AS (
+      SELECT host,
+             ((10000 * sum(changed)) // count(*))::BIGINT AS host_change_e4
+      FROM f GROUP BY host)
+    SELECT f.url, f.host, f.changed, rates.host_change_e4,
+           (f.weight + rates.host_change_e4 // 200
+            + f.changed * 20)::INT AS new_weight
+    FROM f JOIN rates USING (host)
+    """,
+)
+def f13_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive revisit scheduling (frontier.recrawl_priorities): host
+    change rates from fingerprint drift drive integer weight boosts, so
+    the next pop_wave front-loads fast-moving content — the
+    incremental-crawl extension of F5's static weight MERGE
+    (UrlsDbManager.java:272-289).  30% of the derived corpus 'changed'
+    (md5 moved); all arithmetic integer, bit-exact vs the oracle."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    url = F.concat(
+        F.lit("http://host"),
+        (k % 40).cast("string"),
+        F.lit(".example/c/"),
+        k.cast("string"),
+    )
+    obs = c.select(
+        url.alias("url"),
+        F.concat(F.lit("host"), (k % 40).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.lit(90) + k % 21).cast("int").alias("weight"),
+        F.md5(url.cast("binary")).alias("old_fp"),
+        F.when(
+            k % 10 < 3, F.md5(F.concat(url, F.lit("x")).cast("binary"))
+        )
+        .otherwise(F.md5(url.cast("binary")))
+        .alias("new_fp"),
+    )
+    return FR.recrawl_priorities(obs)
+
+
+@register(
     "src_sitemap_roundtrip",
     """
     SELECT 'url' AS kind,
@@ -2736,6 +2787,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "f13_recrawl_schedule",
     "src_sitemap_roundtrip",
     "gr_host_pagerank",
     "src_warc_roundtrip",

@@ -439,3 +439,61 @@ def merge_messages(state: DataFrame, updates: DataFrame) -> DataFrame:
     kept = F.map_filter(base, lambda k, _: ~F.array_contains(F.map_keys(new), k))
     merged = F.map_concat(kept, new)
     return j.withColumn("messages", merged).drop("_upd")
+
+
+# ------------------------------------------------------------- recrawl
+
+
+def recrawl_priorities(
+    observations: DataFrame,
+    change_bonus: int = 20,
+    host_divisor: int = 200,
+) -> DataFrame:
+    """Adaptive revisit scheduling — the incremental-crawl extension of
+    F5's static weight MERGE (UrlsDbManager.java:272-289).  The
+    reference crawls once; a production frontier re-pops settled urls
+    at a rate driven by how often their content changes (the classic
+    change-frequency refresh policy).
+
+    Input: observations(url, host, old_fp, new_fp, weight) — last
+    stored fingerprint vs the freshly fetched one.  Output adds:
+
+    * ``changed``        — 1 if the fingerprint moved;
+    * ``host_change_e4`` — host-level change rate in fixed-point e4
+      (integer division: 10000 * changed / observed — hosts are the
+      unit of revisit budgeting, matching the politeness grain);
+    * ``new_weight``     — weight + host_change_e4 // host_divisor
+      + change_bonus per changed url: hot hosts rise as a block,
+      changed urls rise further, so the next ``pop_wave`` naturally
+      front-loads fast-moving content.
+
+    Scale shape: one groupBy(host) over narrow columns + a broadcast-
+    friendly host-rate join back; integer arithmetic end-to-end so the
+    schedule is bit-identical on any cluster."""
+    obs = observations.withColumn(
+        "changed", (F.col("old_fp") != F.col("new_fp")).cast("int")
+    )
+    rates = (
+        obs.groupBy("host")
+        .agg(
+            F.sum("changed").alias("_chg"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        # integer div, not float-divide-then-cast: bit-exact vs the
+        # oracle's `//` and across engines
+        .select("host", F.expr("div(10000 * _chg, _n)").alias("host_change_e4"))
+    )
+    return (
+        obs.join(F.broadcast(rates), "host")
+        .withColumn(
+            "new_weight",
+            (
+                F.col("weight")
+                + F.expr(f"div(host_change_e4, {int(host_divisor)})")
+                + F.col("changed") * change_bonus
+            ).cast("int"),
+        )
+        .select(
+            "url", "host", "changed", "host_change_e4", "new_weight"
+        )
+    )

@@ -312,3 +312,32 @@ def test_compaction_waves_identical_state(spark):
     assert "overwrite" in modes  # compaction actually happened
     live = b.store._live_ids(man)
     assert len(live) <= 3  # overwrite at wave 4 + nothing after
+
+
+def test_recrawl_priorities_unit(spark):
+    """Hand-vector: host A changes 2/4 (rate 5000e4 -> +25), host B 0/2."""
+    import bingcrawler_spark.frontier as FR
+
+    rows = [
+        ("a1", "A", "x", "y", 100),
+        ("a2", "A", "x", "z", 100),
+        ("a3", "A", "x", "x", 100),
+        ("a4", "A", "x", "x", 107),
+        ("b1", "B", "x", "x", 100),
+        ("b2", "B", "x", "x", 100),
+    ]
+    obs = spark.createDataFrame(
+        rows, "url string, host string, old_fp string, new_fp string, weight int"
+    )
+    got = {
+        r["url"]: (r["changed"], r["host_change_e4"], r["new_weight"])
+        for r in FR.recrawl_priorities(obs).collect()
+    }
+    assert got == {
+        "a1": (1, 5000, 145),
+        "a2": (1, 5000, 145),
+        "a3": (0, 5000, 125),
+        "a4": (0, 5000, 132),
+        "b1": (0, 0, 100),
+        "b2": (0, 0, 100),
+    }

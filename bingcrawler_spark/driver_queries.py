@@ -2100,6 +2100,61 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "f14_trap_budget",
+    """
+    WITH c AS (
+      SELECT 'host' || (o_custkey % 20)::VARCHAR || '.example' AS host,
+             CASE o_orderkey % 4
+               WHEN 0 THEN 'cal' WHEN 1 THEN 'item' WHEN 2 THEN 'page'
+               ELSE 'p' || (o_orderkey % 50)::VARCHAR END AS prefix,
+             o_orderkey
+      FROM orders),
+    u AS (
+      SELECT host, prefix,
+             'http://' || host || '/' || prefix || '/'
+               || o_orderkey::VARCHAR AS url
+      FROM c),
+    g AS (SELECT host, prefix, count(DISTINCT url)::BIGINT AS n_urls
+          FROM u GROUP BY host, prefix)
+    SELECT host, prefix, n_urls, (n_urls > 100)::INT AS trapped,
+           (CASE WHEN n_urls > 100 THEN least(n_urls, 50)
+                 ELSE n_urls END)::BIGINT AS kept
+    FROM g
+    """,
+)
+def f14_trap_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spider-trap budgeting (frontier.trap_flags): per (host,
+    path-prefix) URL-space cardinality, prefixes over threshold flagged
+    and capped — the frontier-hygiene control the reference lacks
+    (putUrl admits every novel url, UrlsDbManager.java:541-618).  The
+    derived corpus plants 3 exploding prefixes per host among ~50
+    benign ones; the Spark side must recover the prefix from the raw
+    url by regexp while the oracle builds it directly."""
+    o = _t(spark, sf_dir, "orders")
+    prefix = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("cal"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit("item"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit("page"))
+        .otherwise(F.concat(F.lit("p"), (F.col("o_orderkey") % 50).cast("string")))
+    )
+    host = F.concat(
+        F.lit("host"), (F.col("o_custkey") % 20).cast("string"), F.lit(".example")
+    )
+    cand = o.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("http://"),
+            host,
+            F.lit("/"),
+            prefix,
+            F.lit("/"),
+            F.col("o_orderkey").cast("string"),
+        ).alias("url"),
+    )
+    return FR.trap_flags(cand, threshold=100, keep=50)
+
+
+@register(
     "f13_recrawl_schedule",
     """
     WITH f AS (
@@ -2787,6 +2842,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "f14_trap_budget",
     "f13_recrawl_schedule",
     "src_sitemap_roundtrip",
     "gr_host_pagerank",

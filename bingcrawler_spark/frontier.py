@@ -497,3 +497,84 @@ def recrawl_priorities(
             "url", "host", "changed", "host_change_e4", "new_weight"
         )
     )
+
+
+# ------------------------------------------------------------ trap guard
+
+
+def trap_flags(
+    cand: DataFrame,
+    threshold: int = 100,
+    keep: int = 50,
+    prefix_pattern: str = r"^[a-z]+://[^/]+/([^/]+)/",
+) -> DataFrame:
+    """Spider-trap detection: flag (host, path-prefix) URL spaces that
+    explode (calendars, faceted search, session-id mills) before they
+    drown the frontier.  The reference has no defense — its frontier
+    admits every novel url (UrlsDbManager.putUrl) and a trap host
+    starves the weight queue; at 10^10-URL scale this is a first-order
+    crawl-quality control (classic crawler-trap budgeting).
+
+    Per (host, first-path-segment): count distinct urls; prefixes over
+    ``threshold`` are trapped and budget-capped to ``keep`` urls.
+    Output: (host, prefix, n_urls, trapped, kept) — all exact
+    integers.  One groupBy over narrow derived columns; candidates'
+    text/payload never moves."""
+    p = cand.select(
+        "host",
+        F.regexp_extract(F.col("url"), prefix_pattern, 1).alias("prefix"),
+        "url",
+    )
+    g = p.groupBy("host", "prefix").agg(
+        F.count_distinct("url").alias("n_urls")
+    )
+    return g.select(
+        "host",
+        "prefix",
+        F.col("n_urls").cast("long").alias("n_urls"),
+        (F.col("n_urls") > threshold).cast("int").alias("trapped"),
+        F.when(F.col("n_urls") > threshold, F.least(F.col("n_urls"), F.lit(keep)))
+        .otherwise(F.col("n_urls"))
+        .cast("long")
+        .alias("kept"),
+    )
+
+
+def trap_filter(
+    cand: DataFrame,
+    threshold: int = 100,
+    keep: int = 50,
+    prefix_pattern: str = r"^[a-z]+://[^/]+/([^/]+)/",
+) -> DataFrame:
+    """Apply trap budgeting to a candidate set: within a trapped
+    (host, prefix), keep the ``keep`` smallest urls (deterministic
+    tie-break = url order, matching the engine's pop tie-break
+    discipline) and drop the rest.  WindowGroupLimit shape — the rank
+    prunes partition-local before the exchange."""
+    p = cand.withColumn(
+        "_prefix", F.regexp_extract(F.col("url"), prefix_pattern, 1)
+    )
+    w = W.partitionBy("host", "_prefix").orderBy("url")
+    flags = trap_flags(cand, threshold, keep, prefix_pattern).where(
+        F.col("trapped") == 1
+    )
+    ranked = p.withColumn("_rn", F.row_number().over(w))
+    out = (
+        ranked.join(
+            F.broadcast(flags.select("host", F.col("prefix").alias("_prefix"))),
+            ["host", "_prefix"],
+            "left_semi",
+        )
+        .where(F.col("_rn") <= keep)
+        .unionByName(
+            ranked.join(
+                F.broadcast(
+                    flags.select("host", F.col("prefix").alias("_prefix"))
+                ),
+                ["host", "_prefix"],
+                "left_anti",
+            )
+        )
+        .drop("_prefix", "_rn")
+    )
+    return out

@@ -341,3 +341,24 @@ def test_recrawl_priorities_unit(spark):
         "b1": (0, 0, 100),
         "b2": (0, 0, 100),
     }
+
+
+def test_trap_filter_caps_exploding_prefix(spark):
+    """A 120-url /cal/ space is capped to keep=5 smallest urls; the
+    benign prefix passes untouched; flags carry exact counts."""
+    import bingcrawler_spark.frontier as FR
+
+    rows = [(f"http://t.example/cal/{i:04d}", "t.example") for i in range(120)]
+    rows += [(f"http://t.example/about/{i}", "t.example") for i in range(3)]
+    cand = spark.createDataFrame(rows, "url string, host string")
+    flags = {
+        (r["prefix"]): (r["n_urls"], r["trapped"], r["kept"])
+        for r in FR.trap_flags(cand, threshold=100, keep=5).collect()
+    }
+    assert flags == {"cal": (120, 1, 5), "about": (3, 0, 3)}
+    kept = FR.trap_filter(cand, threshold=100, keep=5).collect()
+    urls = sorted(r["url"] for r in kept)
+    assert len(urls) == 8  # 5 capped cal + 3 about
+    assert [u for u in urls if "/cal/" in u] == [
+        f"http://t.example/cal/{i:04d}" for i in range(5)
+    ]

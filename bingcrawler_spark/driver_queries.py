@@ -32,6 +32,7 @@ from bingcrawler_spark.functions import bingparse as BP
 from bingcrawler_spark.functions import tenderparse as TP
 from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
+from bingcrawler_spark.dataops import pipeline as PL
 from bingcrawler_spark.dataops import sampling as DS
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
@@ -2099,6 +2100,23 @@ def mm_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_stats(MM.pack_media_encoded(_t(spark, sf_dir, "documents")))
 
 
+_MIX_RATES = {"src0": 1000, "src1": 700, "src2": 400}
+
+
+@register(
+    "pl_webtext_corpus",
+    PL.webtext_corpus_sql("SELECT * FROM documents", _MIX_RATES, 200),
+)
+def pl_webtext_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-corpus pipeline: Gopher/C4
+    quality gate → exact dedup → MinHash-LSH near-dup drop →
+    domain-mixture sampling → per-source token ledger, as ONE plan
+    (dataops/pipeline.py).  Every stage is an already-verified operator;
+    this query verifies their COMPOSITION against the chained-CTE
+    oracle."""
+    return PL.webtext_corpus(_t(spark, sf_dir, "documents"), _MIX_RATES, 200)
+
+
 @register(
     "f14_trap_budget",
     """
@@ -2842,6 +2860,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "pl_webtext_corpus",
     "f14_trap_budget",
     "f13_recrawl_schedule",
     "src_sitemap_roundtrip",

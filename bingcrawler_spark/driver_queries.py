@@ -2300,6 +2300,39 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_rate_limit",
+    """
+    SELECT event_id, user_id,
+           (epoch_us(date_trunc('hour', ts)) // 1000000)::BIGINT AS hour_epoch,
+           (row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                               ORDER BY epoch_us(ts), event_id) <= 5)::INT
+             AS admitted
+    FROM events
+    """,
+)
+def ev_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.rate_limit_stream: per-(user, hour)
+    politeness admission — first K=5 requests in deterministic
+    (ts, event_id) order are admitted.  The streaming side is a
+    stateful applyInPandasWithState token window; stream==batch
+    asserted in test_streaming."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    e = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    w = W.partitionBy("user_id", hour).orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.unix_micros(hour.cast("timestamp")) / 1_000_000)
+        .cast("long")
+        .alias("hour_epoch"),
+        (F.row_number().over(w) <= 5).cast("int").alias("admitted"),
+    )
+
+
+@register(
     "ev_sessionize",
     """
     WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
@@ -2860,6 +2893,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "ev_rate_limit",
     "pl_webtext_corpus",
     "f14_trap_budget",
     "f13_recrawl_schedule",

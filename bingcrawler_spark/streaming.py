@@ -226,3 +226,73 @@ def run_to_memory(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+# ------------------------------------------------------- politeness limiter
+
+RATE_LIMIT_K = 5  # admissions per key per hour window
+RATE_STATE_SCHEMA = "hour_epoch LONG, n_in_hour LONG"
+RATE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("hour_epoch", T.LongType()),
+        T.StructField("admitted", T.IntegerType()),
+    ]
+)
+
+
+def _rate_limit_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Per-key token window: admit the first RATE_LIMIT_K events of each
+    tumbling hour, reject the rest — the streaming shape of the crawl's
+    per-host politeness budget (a fetch scheduler consuming a request
+    stream instead of popping waves).  State = (current hour, count so
+    far); deterministic admission order (ts, event_id), the engine's pop
+    tie-break discipline.  Same cross-batch ordering assumption as the
+    sessionizer (file-order replay is in order)."""
+    hour0, n = state.get if state.exists else (None, 0)
+    chunks = [
+        pdf[["event_id", "ts"]] for pdf in pdfs if len(pdf)
+    ]
+    out_ids, out_hours, out_adm = [], [], []
+    if chunks:
+        df = pd.concat(chunks)
+        us = df["ts"].astype("int64") // 1000  # ns → µs
+        order = pd.DataFrame(
+            {"event_id": df["event_id"].astype("int64"), "us": us}
+        ).sort_values(["us", "event_id"])
+        for eid, v in zip(order["event_id"], order["us"]):
+            hour = (int(v) // 3_600_000_000) * 3600  # epoch seconds
+            if hour0 is None or hour != hour0:
+                hour0, n = hour, 0
+            adm = 1 if n < RATE_LIMIT_K else 0
+            n += 1
+            out_ids.append(int(eid))
+            out_hours.append(hour)
+            out_adm.append(adm)
+    state.update((hour0, n))
+    yield pd.DataFrame(
+        {
+            "event_id": out_ids,
+            "user_id": [key[0]] * len(out_ids),
+            "hour_epoch": out_hours,
+            "admitted": out_adm,
+        }
+    )
+
+
+def rate_limit_stream(events: DataFrame) -> DataFrame:
+    """Streaming politeness limiter: per-event admission decisions,
+    append-mode (each event is decided exactly once).  Batch twin:
+    `ev_rate_limit` (window rank ≤ K)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _rate_limit_fn,
+        outputStructType=RATE_OUT_SCHEMA,
+        stateStructType=RATE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

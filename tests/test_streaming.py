@@ -83,3 +83,16 @@ def test_interval_join_stream_equals_batch(spark, sf_dir, events_dir):
     batch = DQ.ev_interval_join(spark, sf_dir)
     cols = ["view_id", "click_id", "user_id", "lag_us"]
     assert _rows(out, cols) == _rows(batch, cols)
+
+
+def test_rate_limit_stream_equals_batch(spark, sf_dir, events_dir):
+    """Streaming per-(user,hour) admission decisions must equal the batch
+    window-rank query row for row (append mode: each event decided once)."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = ST.stream_events(spark, events_dir)
+    out = ST.run_to_memory(
+        ST.rate_limit_stream(stream), "t_ratelimit", output_mode="append"
+    )
+    batch = DQ.ev_rate_limit(spark, sf_dir)
+    cols = ["event_id", "user_id", "hour_epoch", "admitted"]
+    assert _rows(out, cols) == _rows(batch, cols)

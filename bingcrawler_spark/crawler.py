@@ -414,28 +414,14 @@ class CrawlEngine:
         n_delta = max(1, self.cfg.n_partitions // 4)
         settled = FR.settle(parsed, None, wave)
         obs_settle = Observation(f"settle_w{wave}")
-        _t = _tm()
-        self.store.append(
-            "seen",
-            settled.observe(
-                obs_settle,
-                F.sum((F.col("status") < 0).cast("long")).alias("n_failed"),
-                F.count(F.lit(1)).alias("n_popped"),
-            ).repartition(n_delta),
-            wave,
-        )
-        _mark("seen_append", _t)
-        n_popped = _harvest(obs_settle, "n_popped", top.count)
-        if n_popped == 0:
-            # politeness/min-weight filtered the whole frontier: the crawl
-            # is done.  The empty delta just appended must not survive —
-            # roll it back so a resumed run re-decides cleanly.
-            self.store.rollback_to_wave("seen", wave - 1)
-            top.unpersist()
-            parsed.unpersist()
-            self._needs_rollback = False
-            return {"wave": wave, "n_popped": 0, "done": True}
+        seen_delta = settled.observe(
+            obs_settle,
+            F.sum((F.col("status") < 0).cast("long")).alias("n_failed"),
+            F.count(F.lit(1)).alias("n_popped"),
+        ).repartition(n_delta)
         # existence checks below must see this wave's settled rows too
+        # (DataFrame lineage, not the written table — so the seen write can
+        # be staged concurrently with the frontier/edges writes below)
         seen_now = seen.unionByName(settled)
 
         # F2/F3: candidates → dedup-insert (n_candidates observed, not
@@ -491,30 +477,52 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url"), F.lit(8)),
         )
 
-        # commits (atomic snapshot per table, per wave).  The edges append
-        # runs CONCURRENTLY with the frontier commit: both only read the
-        # cand cache (block-level locks dedupe any shared recompute), Spark's
-        # scheduler is thread-safe, and recovery order still holds — an
-        # edges delta that lands while the frontier commit dies is exactly
-        # the "delta ahead of the commit point" case the resume rollback
-        # already removes.  Overlapping the two hides one action's planning
-        # + commit latency (a per-wave constant that executor count cannot
-        # reduce — the full-loop N→4N scaling cap, BENCH/SUBMIT_SCALING.md).
-        # repartition, not coalesce, for the same reason as the seen delta:
-        # coalesce would collapse the dedup-insert join stage that computes
-        # the edges to n_delta tasks; edge rows are narrow, the exchange is
-        # cheap.
+        # commits (atomic snapshot per table, per wave).  ALL THREE writes
+        # STAGE concurrently — seen delta, ref_edges delta, frontier
+        # overwrite — then PROMOTE (the microsecond manifest rename, the
+        # real commit point) in recovery order seen → edges → frontier.
+        # Safe: the three jobs share only the parsed/cand caches
+        # (block-level locks dedupe any shared recompute), Spark's scheduler
+        # is thread-safe, and a kill between promotes leaves exactly the
+        # "delta ahead of the frontier commit point" case the resume
+        # rollback already removes; a kill during staging leaves no manifest
+        # change at all (orphan dirs are overwritten by the next stage).
+        # Overlapping all three hides two actions' planning + commit latency
+        # — per-wave driver constants that executor count cannot reduce, the
+        # full-loop N→4N scaling cap (BENCH/SUBMIT_SCALING.md).
+        # repartition, not coalesce, for the deltas: coalesce would collapse
+        # the parse/dedup-insert join stages feeding them to n_delta tasks;
+        # delta rows are narrow, the exchange is cheap.
         from concurrent.futures import ThreadPoolExecutor
 
         _t = _tm()
-        with ThreadPoolExecutor(max_workers=1) as pool:
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            seen_fut = pool.submit(self.store.stage, "seen", seen_delta, "append")
             edges_fut = pool.submit(
-                self.store.append, "ref_edges", edges.repartition(n_delta), wave
+                self.store.stage, "ref_edges", edges.repartition(n_delta), "append"
             )
-            frontier_snap = self.store.commit("frontier", frontier_final, wave)
-            _mark("frontier_commit", _t)
-            edges_fut.result()
-        _mark("edges_overlap", _t)
+            frontier_tok = self.store.stage("frontier", frontier_final, "overwrite")
+            seen_tok = seen_fut.result()
+            edges_tok = edges_fut.result()
+        _mark("writes_staged", _t)
+
+        n_popped = _harvest(obs_settle, "n_popped", top.count)
+        if n_popped == 0:
+            # politeness/min-weight filtered the whole frontier: the crawl
+            # is done.  Nothing was promoted — drop the staged dirs so a
+            # resumed run re-decides cleanly.
+            for tok in (seen_tok, edges_tok, frontier_tok):
+                self.store.discard(tok)
+            top.unpersist()
+            parsed.unpersist()
+            cand.unpersist()
+            self._needs_rollback = False
+            return {"wave": wave, "n_popped": 0, "done": True}
+
+        self.store.promote(seen_tok, wave)
+        self.store.promote(edges_tok, wave)
+        frontier_snap = self.store.promote(frontier_tok, wave)
+        _mark("frontier_commit", _t)
 
         # harvest the observed counts (all fired by the writes above —
         # the whole wave normally runs top.count + 3 write jobs, nothing

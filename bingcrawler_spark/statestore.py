@@ -53,31 +53,56 @@ class SnapshotStore:
             return json.load(f)
 
     # ---- commits ---------------------------------------------------------
-    def _commit_snap(
-        self, table: str, df: DataFrame, wave: int, mode: str, meta: dict | None
-    ) -> str:
+    # A snapshot lands in two steps so callers can overlap the slow halves:
+    #   stage()   — write the parquet data files (the executor work; minutes
+    #               at scale) with NO manifest change.  Safe to run several
+    #               tables' stages concurrently: manifests are per-table and
+    #               a staged dir is invisible to readers until promoted.
+    #   promote() — the atomic manifest rename (microseconds).  THIS is the
+    #               commit point; promote in recovery order so a kill between
+    #               promotes leaves only "deltas ahead of the commit point",
+    #               which rollback_to_wave already removes.
+    # Iceberg analogue: stage = write data files + manifest list, promote =
+    # the metadata-pointer swap that commits the snapshot.
+    def stage(self, table: str, df: DataFrame, mode: str) -> dict:
         man = self.manifest(table) or {"current": -1, "snapshots": []}
         snap_id = man["current"] + 1
         snap_dir = self._snap_dir(table, snap_id)
         df.write.mode("overwrite").parquet(snap_dir)
-        man["current"] = snap_id
+        return {"table": table, "id": snap_id, "dir": snap_dir, "mode": mode}
+
+    def promote(self, token: dict, wave: int, meta: dict | None = None) -> str:
+        man = self.manifest(token["table"]) or {"current": -1, "snapshots": []}
+        # single-writer invariant: nothing committed since this stage
+        assert man["current"] + 1 == token["id"], (token, man["current"])
+        man["current"] = token["id"]
         man["snapshots"].append(
-            {"id": snap_id, "wave": wave, "mode": mode, "ts": time.time(), **(meta or {})}
+            {
+                "id": token["id"],
+                "wave": wave,
+                "mode": token["mode"],
+                "ts": time.time(),
+                **(meta or {}),
+            }
         )
-        tmp = self._manifest_path(table) + ".tmp"
+        tmp = self._manifest_path(token["table"]) + ".tmp"
         with open(tmp, "w") as f:
             json.dump(man, f)
-        os.replace(tmp, self._manifest_path(table))  # atomic on POSIX
-        self._expire(table, keep=4)
-        return snap_dir
+        os.replace(tmp, self._manifest_path(token["table"]))  # atomic on POSIX
+        self._expire(token["table"], keep=4)
+        return token["dir"]
+
+    def discard(self, token: dict) -> None:
+        """Drop a staged-but-not-promoted snapshot dir (abandoned wave)."""
+        shutil.rmtree(token["dir"], ignore_errors=True)
 
     def commit(self, table: str, df: DataFrame, wave: int, meta: dict | None = None) -> str:
         """Full-overwrite snapshot (the new current state of the table)."""
-        return self._commit_snap(table, df, wave, "overwrite", meta)
+        return self.promote(self.stage(table, df, "overwrite"), wave, meta)
 
     def append(self, table: str, df: DataFrame, wave: int, meta: dict | None = None) -> str:
         """Fast-append snapshot: df holds ONLY this wave's delta rows."""
-        return self._commit_snap(table, df, wave, "append", meta)
+        return self.promote(self.stage(table, df, "append"), wave, meta)
 
     def truncate(self, table: str) -> None:
         """F9 clearDb (UrlsDb.java truncate semantics): drop the table's

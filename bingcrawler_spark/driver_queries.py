@@ -39,6 +39,7 @@ from bingcrawler_spark.dataops import textstats as TS
 from bingcrawler_spark import graph as GR
 from bingcrawler_spark import sitemap as SM
 from bingcrawler_spark import warc as WARC
+from bingcrawler_spark import indexing as IX
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -2295,6 +2296,43 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Indexing / retrieval (the search side of a search-engine crawler)
+# =====================================================================
+
+_BM25_TERMS = ["customer", "merge", "vector"]
+
+
+@register(
+    "ix_postings_stats",
+    IX.postings_sql("SELECT doc_id, text FROM documents"),
+)
+def ix_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index dictionary build over the crawled corpus: per-term
+    document frequency + collection frequency (terms ≥ 4 chars, df ≥ 5).
+    The step the reference leaves to Bing itself (it analyzes result
+    pages, `BingDataAnalysis.java`; indexing is the missing half of the
+    crawl→search pipeline).  One explode + one term-keyed aggregation
+    with map-side partial distinct — the canonical index-build plan."""
+    return IX.postings_stats(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
+@register(
+    "ix_bm25_search",
+    IX.bm25_sql("SELECT doc_id, text FROM documents", _BM25_TERMS),
+)
+def ix_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval for a fixed 3-term query over the corpus.
+    Shuffle-free on the corpus side: per-doc tf/dl via array exprs in
+    codegen, corpus stats (N, Σdl, df) as ONE broadcast 1-row aggregate,
+    TakeOrderedAndProject on the e4 fixed-point score (rounded score is
+    the sort key in both engines, so a last-ulp ln() difference between
+    libms cannot reorder the output)."""
+    return IX.bm25_scores(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), _BM25_TERMS
+    )
+
+
+# =====================================================================
 # Event-stream operators (batch equivalents of the streaming module)
 # =====================================================================
 
@@ -2893,6 +2931,8 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "ix_postings_stats",
+    "ix_bm25_search",
     "ev_rate_limit",
     "pl_webtext_corpus",
     "f14_trap_budget",

@@ -1,0 +1,176 @@
+"""Inverted-index construction and BM25 scored retrieval — the search
+side of a search-engine crawler.  The reference crawls and *analyzes*
+Bing result pages (`BingDataAnalysis.java` report queries); the step it
+leaves to Bing itself — turning the fetched corpus into a queryable
+index — is the natural completion of the pipeline, and the shape of
+that computation is what this module provides, Spark-first:
+
+* **Postings build** (`postings_stats`): tokenize → explode → one
+  hash aggregation keyed by term.  Map-side partial aggregation means
+  stopword skew costs only combiner CPU, never a hot reduce partition;
+  the shuffle carries (term, doc_id) pairs, not text.  At 100 TB this
+  is the canonical index-build plan: the corpus is read once, the only
+  wide exchange is the narrow term-key one.
+
+* **BM25 scoring** (`bm25_scores`): for a fixed query-term set the
+  whole computation is SHUFFLE-FREE on the corpus side — per-document
+  tf/dl come from array expressions inside whole-stage codegen (no
+  explode), corpus statistics (N, Σdl, per-term df) reduce to ONE
+  1-row aggregate that is broadcast back, and the final top-k is a
+  TakeOrderedAndProject.  A 1000-executor run shuffles a single row.
+
+Cross-engine determinism: scores are emitted as e4 fixed-point ints
+(`round(score·10⁴)`), and the top-k ORDER BY uses the *rounded* score
+(then doc_id), so a last-ulp `ln` difference between libms cannot
+reorder or re-round the output except at astronomically unlucky
+boundaries.  `postings_sql` / `bm25_sql` emit DuckDB oracles that
+re-derive everything from the same tokenizer (lower → non-alnum runs
+to single spaces → split on space → drop empties).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+K1 = 1.2
+B = 0.75
+
+_TOKENIZE = "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '), x -> x <> '')"
+
+
+def _toks_col() -> F.Column:
+    """lower → collapse non-alnum runs to single spaces → split → drop ''.
+    Mirrors the DuckDB `_TOKENIZE` expression token-for-token."""
+    return F.filter(
+        F.split(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "), " "),
+        lambda x: x != F.lit(""),
+    )
+
+
+# ---------------------------------------------------------------------
+# Postings / dictionary statistics
+# ---------------------------------------------------------------------
+def postings_stats(docs: DataFrame, min_len: int = 4, min_df: int = 5) -> DataFrame:
+    """documents(doc_id, text) → (term, df, cf) for terms of length
+    ≥ min_len appearing in ≥ min_df distinct docs.  df = document
+    frequency, cf = collection frequency.  One explode + one term-keyed
+    aggregation; countDistinct runs as a two-level partial-distinct, so
+    the exchange is (term, doc_id) pairs with map-side dedup."""
+    toks = docs.select("doc_id", F.explode(_toks_col()).alias("term"))
+    return (
+        toks.where(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.count(F.lit(1)).cast("long").alias("cf"),
+        )
+        .where(F.col("df") >= min_df)
+    )
+
+
+def postings_sql(from_docs: str, min_len: int = 4, min_df: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENIZE}) AS term
+      FROM ({from_docs})
+    )
+    SELECT term,
+           count(DISTINCT doc_id)::BIGINT AS df,
+           count(*)::BIGINT AS cf
+    FROM toks
+    WHERE length(term) >= {min_len}
+    GROUP BY term
+    HAVING count(DISTINCT doc_id) >= {min_df}
+    """
+
+
+# ---------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------
+def bm25_scores(
+    docs: DataFrame, terms: list[str], k1: float = K1, b: float = B, limit: int = 20
+) -> DataFrame:
+    """documents(doc_id, text) × fixed query terms → top-`limit`
+    (doc_id, score_e4) by BM25 (Robertson/Sparck-Jones idf with the +1
+    floor, as in Lucene).  Plan shape: one corpus map computing
+    (dl, tf_i…) via array exprs, ONE 1-row global aggregate for
+    (N, Σdl, df_i…), broadcast back with a crossJoin, then
+    TakeOrderedAndProject on the rounded score — no corpus shuffle."""
+    def _tf(term: str) -> F.Column:
+        # NB: F.filter treats a 2-arg lambda as (element, index) — a
+        # `lambda x, t=t:` default would silently bind t to the index.
+        return F.size(F.filter("toks", lambda x: x == F.lit(term))).cast("long")
+
+    d = docs.select(F.col("doc_id"), _toks_col().alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[_tf(t).alias(f"tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("long").alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    score = None
+    for i in range(len(terms)):
+        idf = F.log(
+            (F.col("n_docs").cast("double") - F.col(f"df{i}").cast("double") + F.lit(0.5))
+            / (F.col(f"df{i}").cast("double") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        tf = F.col(f"tf{i}").cast("double")
+        part = idf * (tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl").cast("double") / avgdl))
+        score = part if score is None else score + part
+    hit = sum(F.col(f"tf{i}") for i in range(len(terms)))
+    return (
+        scored.where(hit > 0)
+        .select("doc_id", F.round(score * 10_000).cast("long").alias("score_e4"))
+        .orderBy(F.col("score_e4").desc(), F.col("doc_id").asc())
+        .limit(limit)
+    )
+
+
+def bm25_sql(
+    from_docs: str, terms: list[str], k1: float = K1, b: float = B, limit: int = 20
+) -> str:
+    tf_cols = ",\n             ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n             ".join(
+        f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{i}"
+        for i in range(len(terms))
+    )
+    parts = " + ".join(
+        f"(ln((n_docs::DOUBLE - df{i}::DOUBLE + 0.5) / (df{i}::DOUBLE + 0.5) + 1.0)"
+        f" * (tf{i}::DOUBLE * {k1 + 1.0!r}) / (tf{i}::DOUBLE + {k1!r} *"
+        f" ({1.0 - b!r} + {b!r} * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))))"
+        for i in range(len(terms))
+    )
+    hit = " + ".join(f"tf{i}" for i in range(len(terms)))
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENIZE} AS toks
+      FROM ({from_docs})
+    ),
+    t AS (
+      SELECT doc_id, len(toks)::BIGINT AS dl,
+             {tf_cols}
+      FROM d
+    ),
+    s AS (
+      SELECT count(*)::BIGINT AS n_docs, sum(dl)::BIGINT AS sum_dl,
+             {df_cols}
+      FROM t
+    )
+    SELECT doc_id, round(({parts}) * 10000)::BIGINT AS score_e4
+    FROM t, s
+    WHERE {hit} > 0
+    ORDER BY score_e4 DESC, doc_id ASC
+    LIMIT {limit}
+    """

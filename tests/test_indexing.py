@@ -1,0 +1,84 @@
+"""Inverted-index + BM25 vs a pure-Python reference implementation."""
+
+import math
+import re
+
+from bingcrawler_spark import indexing as IX
+
+DOCS = [
+    (0, "Spark joins tables; the JOIN is hash-based. join join"),
+    (1, "merge sort beats hash merge when spilling, merge!"),
+    (2, "customer rows join customer dims"),
+    (3, "vector scan"),
+    (4, ""),
+]
+TERMS = ["join", "merge", "customer"]
+
+
+def _tok(text):
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split(" ") if t]
+
+
+def _bm25_py(docs, terms, k1=IX.K1, b=IX.B):
+    toks = {i: _tok(t) for i, t in docs}
+    dl = {i: len(ts) for i, ts in toks.items()}
+    n = len(docs)
+    avgdl = sum(dl.values()) / n
+    out = {}
+    for i in toks:
+        s, hit = 0.0, 0
+        for q in terms:
+            tf = toks[i].count(q)
+            hit += tf
+            df = sum(1 for j in toks if q in toks[j])
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl[i] / avgdl))
+        if hit:
+            out[i] = round(s * 10_000)
+    return out
+
+
+def _docs_df(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_bm25_matches_pure_python(spark):
+    got = {
+        r["doc_id"]: r["score_e4"]
+        for r in IX.bm25_scores(_docs_df(spark), TERMS).collect()
+    }
+    assert got == _bm25_py(DOCS, TERMS)
+
+
+def test_bm25_ordering_and_limit(spark):
+    rows = IX.bm25_scores(_docs_df(spark), TERMS, limit=2).collect()
+    ref = sorted(_bm25_py(DOCS, TERMS).items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(r["doc_id"], r["score_e4"]) for r in rows] == ref
+
+
+def test_postings_stats(spark):
+    rows = {
+        r["term"]: (r["df"], r["cf"])
+        for r in IX.postings_stats(_docs_df(spark), min_len=4, min_df=2).collect()
+    }
+    # 'join' appears in docs 0 (3x, case-folded; 'joins' is a distinct
+    # token) and 2 (1x); 'merge' only in doc 1.
+    assert rows["join"] == (2, 4)
+    assert "merge" not in rows  # df 1 < min_df
+    assert all(len(t) >= 4 for t in rows)
+
+
+def test_bm25_oracle_sql_matches_duckdb(spark):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in [(i, t.replace("'", "''")) for i, t in DOCS])
+        + ") v(doc_id, text)"
+    )
+    got = con.execute(
+        IX.bm25_sql("SELECT doc_id, text FROM documents", TERMS)
+    ).fetchall()
+    ref = sorted(_bm25_py(DOCS, TERMS).items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(int(a), int(b)) for a, b in got] == ref

@@ -462,13 +462,29 @@ def write_bench_md(result: dict) -> None:
             f"{med_raw}, normalized {med_norm}.",
         ]
         if os.path.exists(os.path.join("BENCH", "SUBMIT_SCALING.md")):
+            # median across the round-3 protocol reps (wave 65 536,
+            # 1 000-word pages) recorded in submit_scaling.jsonl — the
+            # first two wave-65 536 rows predate that protocol
+            sub_med, reps = None, []
+            try:
+                with open(os.path.join("BENCH", "submit_scaling.jsonl")) as f:
+                    reps = [
+                        r["efficiency"]
+                        for r in map(json.loads, f)
+                        if r.get("workload", {}).get("wave_size") == 65536
+                        and r["ts"] >= 1787095000
+                    ]
+                sub_med = _median(reps)
+            except (OSError, ValueError, KeyError):
+                pass
             lines.append(
                 "\nThe north rule's launch shape — `spark-submit --py-files` "
                 "at two parallelism levels — is evidenced separately in "
                 "`BENCH/SUBMIT_SCALING.md` (full-loop N→4N pairs through the "
                 "real deployment path, identical wave metrics at both "
                 "levels; round-3 protocol — wave 65 536, 1 000-word pages, "
-                "post-overlap engine — three-rep median 0.701, per-rep table "
+                "post-overlap engine — "
+                f"{len(reps)}-rep median {sub_med}, per-rep table "
                 "and the wave-131 072 probe in that file)."
             )
     lines += [

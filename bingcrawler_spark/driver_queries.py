@@ -40,6 +40,7 @@ from bingcrawler_spark import graph as GR
 from bingcrawler_spark import sitemap as SM
 from bingcrawler_spark import warc as WARC
 from bingcrawler_spark import indexing as IX
+from bingcrawler_spark import sketches as SK
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -2333,6 +2334,51 @@ def ix_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Sketches (HyperLogLog cardinality, Count-Min frequency)
+# =====================================================================
+
+_CMS_PROBES = ["customer", "merge", "vector", "zzqabsent"]
+
+
+@register(
+    "sk_hll_users",
+    SK.hll_sql("SELECT user_id FROM events", "user_id"),
+)
+def sk_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate over the events stream, the
+    100 TB path for `count(DISTINCT user_id)`: the only exchange is
+    (register, rho) pairs — ≤ 4096 groups with map-side partial max —
+    regardless of input size.  The sketch math is bit-identical on
+    DuckDB (md5 register/rho from hex digits, exact integer harmonic
+    sum); exact_distinct rides along to self-document the error."""
+    return SK.hll_distinct(_t(spark, sf_dir, "events").select("user_id"), "user_id")
+
+
+@register(
+    "sk_cms_build",
+    SK.cms_sql("SELECT text FROM documents"),
+)
+def sk_cms_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min counter table (4×1024 cells) over corpus terms: one
+    explode + one (seed, idx)-keyed agg with map-side combine.  The
+    counter table is bounded regardless of corpus size — the frequency
+    structure a 100 TB vocabulary cannot afford to materialize exactly."""
+    return SK.cms_build(_t(spark, sf_dir, "documents").select("text"))
+
+
+@register(
+    "sk_cms_point",
+    SK.cms_point_sql("SELECT text FROM documents", _CMS_PROBES),
+)
+def sk_cms_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min point estimates for fixed probe terms (one absent term
+    included): probe (seed, idx) keys are precomputed literals broadcast
+    against the counter table; est ≥ true always (one-sided error),
+    true_cnt rides along to show it."""
+    return SK.cms_point(_t(spark, sf_dir, "documents").select("text"), _CMS_PROBES)
+
+
+# =====================================================================
 # Event-stream operators (batch equivalents of the streaming module)
 # =====================================================================
 
@@ -2931,6 +2977,9 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "sk_hll_users",
+    "sk_cms_build",
+    "sk_cms_point",
     "ix_postings_stats",
     "ix_bm25_search",
     "ev_rate_limit",

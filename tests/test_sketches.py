@@ -1,0 +1,127 @@
+"""HLL + Count-Min vs pure-Python twins and the DuckDB oracle SQL."""
+
+import hashlib
+import math
+
+from bingcrawler_spark import sketches as SK
+
+
+# ------------------------------------------------------------- twins
+def _hll_py(values, p=SK.HLL_P):
+    m = 1 << p
+    reg_hex = (p + 3) // 4
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = hashlib.md5(str(v).encode()).hexdigest()
+        reg = int(h[:reg_hex], 16) % m
+        s = h[reg_hex : reg_hex + SK._TAIL_HEX].lstrip("0")
+        if not s:
+            rho = 61
+        else:
+            c = s[0]
+            nib = 0 if c >= "8" else 1 if c >= "4" else 2 if c >= "2" else 3
+            rho = (SK._TAIL_HEX - len(s)) * 4 + nib + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    zeros = m - len(regs)
+    s_total = sum(1 << (61 - r) for r in regs.values()) + zeros * (1 << 61)
+    raw = SK._alpha_m2_p61(m) / float(s_total)
+    if raw <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    else:
+        est = raw
+    return m, len(regs), round(est)
+
+
+def _cms_py(tokens, probes, d=SK.CMS_D, w=SK.CMS_W):
+    counters = {}
+    for t in tokens:
+        for s in range(d):
+            k = (s, SK.cms_idx(s, t, w))
+            counters[k] = counters.get(k, 0) + 1
+    return {
+        q: min(counters.get((s, SK.cms_idx(s, q, w)), 0) for s in range(d))
+        for q in probes
+    }
+
+
+def test_hll_matches_python_twin_small(spark):
+    vals = [f"user{i}" for i in range(200)] * 3  # dups must not count
+    df = spark.createDataFrame([(v,) for v in vals] + [(None,)], "uid string")
+    row = SK.hll_distinct(df, "uid").collect()[0]
+    m, nz, est = _hll_py(vals)
+    assert (row["m"], row["nonzero_regs"], row["hll_est"]) == (m, nz, est)
+    assert row["exact_distinct"] == 200
+    # linear-counting regime: estimate should be close
+    assert abs(row["hll_est"] - 200) <= 10
+
+
+def test_hll_harmonic_branch(spark):
+    # cardinality >> 2.5m for p=6 (m=64) forces the harmonic estimator
+    vals = list(range(20_000))
+    df = spark.createDataFrame([(v,) for v in vals], "uid long")
+    row = SK.hll_distinct(df, "uid", p=6).collect()[0]
+    m, nz, est = _hll_py(vals, p=6)
+    assert (row["m"], row["nonzero_regs"], row["hll_est"]) == (m, nz, est)
+    assert abs(row["hll_est"] - 20_000) / 20_000 < 0.35  # ~13% stderr at m=64
+
+
+def test_hll_sql_matches_spark(spark):
+    import duckdb
+
+    vals = [f"u{i % 333}" for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "uid string")
+    got = tuple(SK.hll_distinct(df, "uid").collect()[0])
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{v}')" for v in vals)
+        + ") v(uid)"
+    )
+    ref = con.execute(SK.hll_sql("SELECT uid FROM t", "uid")).fetchone()
+    assert got == tuple(ref)
+    # harmonic branch too: m=64 saturates (zeros=0) at 333 distinct
+    got6 = tuple(SK.hll_distinct(df, "uid", p=6).collect()[0])
+    ref6 = con.execute(SK.hll_sql("SELECT uid FROM t", "uid", p=6)).fetchone()
+    assert got6 == tuple(ref6)
+    assert got6 == _hll_py(vals, p=6) + (333,)
+
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog the fox"),
+    (1, "pack my box with five dozen liquor jugs, the box"),
+    (2, "fox fox fox dog dog the"),
+]
+PROBES = ["fox", "the", "dog", "absentterm"]
+
+
+def test_cms_point_vs_python(spark):
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["term"]: (r["est_cnt"], r["true_cnt"]) for r in SK.cms_point(df, PROBES).collect()}
+    toks = [t for _, txt in DOCS for t in txt.replace(",", " ").lower().split() if t]
+    ref = _cms_py(toks, PROBES)
+    true = {q: toks.count(q) for q in PROBES}
+    for q in PROBES:
+        assert got[q] == (ref[q], true[q])
+        assert got[q][0] >= got[q][1]  # CMS error is one-sided
+
+
+def test_cms_point_sql_matches_spark(spark):
+    import duckdb
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = sorted(tuple(r) for r in SK.cms_point(df, PROBES).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t.replace(chr(39), chr(39)*2)}')" for i, t in DOCS)
+        + ") v(doc_id, text)"
+    )
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            SK.cms_point_sql("SELECT text FROM documents", PROBES)
+        ).fetchall()
+    )
+    assert got == ref

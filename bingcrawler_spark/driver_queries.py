@@ -41,6 +41,7 @@ from bingcrawler_spark import sitemap as SM
 from bingcrawler_spark import warc as WARC
 from bingcrawler_spark import indexing as IX
 from bingcrawler_spark import sketches as SK
+from bingcrawler_spark import layout as LO
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -2334,6 +2335,69 @@ def ix_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Physical layout (bucketed co-located join, skew-salted join)
+# =====================================================================
+
+_LO_ORACLE = """
+    SELECT c_mktsegment,
+           count(*)::BIGINT AS n_orders,
+           sum(round(o_totalprice * 100))::BIGINT AS total_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+"""
+
+
+@register("lo_bucket_join", _LO_ORACLE)
+def lo_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⨝ customer through BUCKETED tables: both sides written
+    bucketBy(16, custkey) once, then joined with a forced SortMergeJoin
+    whose plan has ZERO Exchange — the bucket metadata proves
+    co-location to Catalyst (test_layout asserts the plan).  This is
+    the pay-the-shuffle-once layout for the 100 TB fact⨝dim case where
+    the dim outgrows a broadcast; the oracle is the plain join, proving
+    result-invariance across physical strategies."""
+    LO.write_bucketed(
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        "lo_b_orders",
+        "o_custkey",
+    )
+    LO.write_bucketed(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        "lo_b_customer",
+        "c_custkey",
+    )
+    j = LO.bucketed_join(
+        spark, "lo_b_orders", "lo_b_customer", "o_custkey", "c_custkey",
+        force_merge=True,
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("total_cents"),
+    )
+
+
+@register("lo_salted_join", _LO_ORACLE)
+def lo_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same join through the skew-salting path: the big side gets a
+    deterministic salt from its unique o_orderkey, the small side is
+    replicated once per salt, the join runs on (key, salt) — a hot
+    custkey spreads over 8 partitions instead of one.  Identical oracle
+    as lo_bucket_join: the value hash proves salting changes the
+    partitioning, never the answer."""
+    big = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey", "o_totalprice"
+    )
+    small = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    j = LO.salted_join(big, small, "custkey", "o_orderkey")
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100)).cast("long").alias("total_cents"),
+    )
+
+
+# =====================================================================
 # Sketches (HyperLogLog cardinality, Count-Min frequency)
 # =====================================================================
 
@@ -2977,6 +3041,8 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "lo_bucket_join",
+    "lo_salted_join",
     "sk_hll_users",
     "sk_cms_build",
     "sk_cms_point",

@@ -72,6 +72,9 @@ HEADLINE = [
     "dd_dup_clusters",
     "gr_host_pagerank",
     "src_warc_roundtrip",
+    "ix_bm25_search",
+    "sk_hll_users",
+    "lo_bucket_join",
 ]
 
 

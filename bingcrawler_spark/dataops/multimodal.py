@@ -1,15 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` + typed
 metadata, processed by Arrow-batched pandas UDFs over ``mapInPandas``.
 
-Decode is REAL for the uncompressed formats — binary PPM (P6) images and
-16-bit PCM WAV audio are parsed byte-for-byte with no codec library
-(``decode_media``), and ``resize_images`` does true nearest-neighbor
+Decode is REAL for the formats stdlib can carry: binary PPM (P6) images,
+16-bit PCM WAV audio, and 8-bit gray/truecolor non-interlaced PNG —
+parsed byte-for-byte with no codec library (``decode_media``; the PNG
+path does the chunk walk with CRC checks, zlib inflate, and all five
+scanline unfilters), and ``resize_images`` does true nearest-neighbor
 resampling of PPM payloads.  Formats that genuinely require codecs absent
-from this container (JPEG/PNG/MP3/video containers) still raise
-``NotImplementedError`` — the honest stub — and ``fake_feature_extract``
-remains the deterministic embedding stand-in so the Spark-side plumbing —
-schema, batch shape, partitioning, UDF signature — is real and TESTED end
-to end either way.
+from this container (JPEG/MP3/video containers, interlaced or >8-bit
+PNG) still raise ``NotImplementedError`` — the honest stub — and
+``fake_feature_extract`` remains the deterministic embedding stand-in so
+the Spark-side plumbing — schema, batch shape, partitioning, UDF
+signature — is real and TESTED end to end either way.
 
 Scale notes: media blobs ride a ``binary`` column; the metadata/feature
 pass is ``mapInPandas`` so each Arrow batch holds only
@@ -96,16 +98,176 @@ def encode_wav_pcm16(n_samples: int, rate: int, amplitude: int) -> bytes:
     return hdr + data
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raster: bytes | None = None,
+    value: int = 0,
+    filter_type: int = 0,
+) -> bytes:
+    """REAL PNG writer — 8-bit truecolor (RGB), non-interlaced — using
+    only stdlib zlib/struct (PNG's DEFLATE is the same inflate the WARC
+    and PDF paths already use).  `filter_type` picks the scanline filter
+    (0 none / 1 sub / 2 up / 3 average / 4 paeth) so the decoder's five
+    unfilter paths are all exercisable; raster defaults to constant
+    `value` bytes."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    raster = (
+        bytes(raster)
+        if raster is not None
+        else bytes([value % 256]) * (stride * height)
+    )
+    if len(raster) != stride * height:
+        raise ValueError("raster size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = raster[y * stride : (y + 1) * stride]
+        out.append(filter_type)
+        if filter_type == 0:
+            out += row
+        elif filter_type == 1:  # sub
+            out += bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 255 for i in range(stride)
+            )
+        elif filter_type == 2:  # up
+            out += bytes((row[i] - prev[i]) & 255 for i in range(stride))
+        elif filter_type == 3:  # average
+            out += bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 255
+                for i in range(stride)
+            )
+        elif filter_type == 4:  # paeth
+            out += bytes(
+                (row[i] - _paeth(row[i - 3] if i >= 3 else 0, prev[i],
+                                 prev[i - 3] if i >= 3 else 0)) & 255
+                for i in range(stride)
+            )
+        else:
+            raise ValueError("bad filter type")
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_raster(b: bytes) -> tuple[int, int, int, bytearray]:
+    """8-bit gray/RGB non-interlaced PNG reader: chunk walk with CRC
+    verification, zlib inflate, full five-filter scanline reconstruction
+    (none/sub/up/average/paeth per the PNG spec §9).  Returns
+    (width, height, bytes-per-pixel, reconstructed raster)."""
+    import struct
+    import zlib
+
+    pos, w, h, ctype, idat = 8, None, None, None, []
+    while pos + 12 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        typ = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        (crc,) = struct.unpack(">I", b[pos + 8 + ln : pos + 12 + ln])
+        if crc != zlib.crc32(typ + data) & 0xFFFFFFFF:
+            raise ValueError("png chunk crc mismatch")
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype not in (0, 2) or interlace:
+                raise NotImplementedError(
+                    "only 8-bit gray/truecolor non-interlaced PNG is parsed natively"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        raise ValueError("corrupt PNG: missing IHDR/IDAT")
+    raw = zlib.decompress(b"".join(idat))
+    bpp = 3 if ctype == 2 else 1
+    stride = w * bpp
+    if len(raw) != (stride + 1) * h:
+        raise ValueError("truncated PNG raster")
+    prev = bytearray(stride)
+    out = bytearray()
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        cur = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = cur[i - bpp] if i >= bpp else 0
+            u = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x + a
+            elif ft == 2:
+                v = x + u
+            elif ft == 3:
+                v = x + ((a + u) >> 1)
+            elif ft == 4:
+                v = x + _paeth(a, u, c)
+            else:
+                raise ValueError("bad PNG filter byte")
+            cur[i] = v & 255
+        out += cur
+        prev = cur
+    return w, h, bpp, out
+
+
+def _decode_png(b: bytes) -> dict:
+    w, h, _bpp, raster = _png_raster(b)
+    return {
+        "kind": "image",
+        "width": w,
+        "height": h,
+        "mean_val": sum(raster) // len(raster) if raster else 0,
+    }
+
+
 def decode_media(payload: bytes, kind: str) -> dict:
-    """REAL decode for the uncompressed formats — binary PPM (P6) images
-    and 16-bit PCM RIFF/WAVE audio — by direct byte parsing, no codec
-    library.  Compressed/encoded formats (JPEG, PNG, MP3, video
-    containers) raise NotImplementedError: those genuinely require codec
-    libraries absent from this container."""
+    """REAL decode with no codec library: binary PPM (P6) images, 16-bit
+    PCM RIFF/WAVE audio, and 8-bit gray/RGB non-interlaced PNG (stdlib
+    zlib inflate + full five-filter scanline reconstruction).  Formats
+    that need codecs absent from this container (JPEG, MP3, video
+    containers, exotic PNG layouts) raise NotImplementedError."""
     import re
     import struct
 
     b = bytes(payload or b"")
+    if b.startswith(_PNG_SIG):
+        return _decode_png(b)
     if b.startswith(b"P6"):
         m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
         if not m:
@@ -163,10 +325,13 @@ PACKED_SCHEMA = T.StructType(
 
 def pack_media_encoded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Media table whose image/audio payloads are REAL encoded bytes
-    (binary PPM / PCM16 WAV) built from closed-form per-id parameters —
-    so a decoder's output is independently checkable by id arithmetic:
+    (binary PPM / PNG / PCM16 WAV) built from closed-form per-id
+    parameters — so a decoder's output is independently checkable by id
+    arithmetic, regardless of which container carried the pixels:
 
-    * image (id % 3 == 0): PPM (8 + id%9) × (6 + id%5), every byte id%251
+    * image (id % 3 == 0): (8 + id%9) × (6 + id%5), every RGB byte
+      id%251 — alternating PPM and PNG containers (PNG arm cycles all
+      five scanline filters), same arithmetic either way
     * audio (id % 3 == 1): WAV 8 kHz mono, 80·(1 + id%20) samples of
       constant amplitude id%1000 − 500 → duration 10·(1 + id%20) ms
     * video (id % 3 == 2): opaque synthetic bytes (codec genuinely absent)
@@ -181,8 +346,20 @@ def pack_media_encoded(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 mid = int(mid)
                 k = ("image", "audio", "video")[mid % 3]
                 if k == "image":
-                    blob = encode_ppm(8 + mid % 9, 6 + mid % 5, mid % 251)
-                    mime = "image/x-portable-pixmap"
+                    # alternate PPM / PNG on the same closed-form params —
+                    # the arithmetic oracle is format-blind; the PNG arm
+                    # cycles all five scanline filters by id
+                    if (mid // 3) % 2 == 0:
+                        blob = encode_ppm(8 + mid % 9, 6 + mid % 5, mid % 251)
+                        mime = "image/x-portable-pixmap"
+                    else:
+                        blob = encode_png(
+                            8 + mid % 9,
+                            6 + mid % 5,
+                            value=mid % 251,
+                            filter_type=(mid // 6) % 5,
+                        )
+                        mime = "image/png"
                 elif k == "audio":
                     blob = encode_wav_pcm16(80 * (1 + mid % 20), 8000, mid % 1000 - 500)
                     mime = "audio/wav"
@@ -328,15 +505,24 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 
 
 def resize_ppm(blob: bytes, width: int, height: int) -> bytes:
-    """True nearest-neighbor resample of a binary PPM payload (numpy
-    fancy-indexing, no codec library); re-encodes as PPM."""
+    """True nearest-neighbor resample of a binary PPM or truecolor PNG
+    payload (numpy fancy-indexing, no codec library); re-encodes in the
+    source container."""
     import re
 
     import numpy as np
 
+    if blob.startswith(_PNG_SIG):
+        w, h, bpp, raster = _png_raster(blob)
+        if bpp != 3:
+            raise NotImplementedError("resize of grayscale PNG not wired")
+        arr = np.frombuffer(bytes(raster), dtype=np.uint8).reshape(h, w, 3)
+        rows = (np.arange(height) * h) // height
+        cols = (np.arange(width) * w) // width
+        return encode_png(width, height, raster=arr[rows][:, cols].tobytes())
     m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", blob)
     if not m:
-        raise NotImplementedError("resize of non-PPM images needs a codec")
+        raise NotImplementedError("resize of non-PPM/PNG images needs a codec")
     w, h, _ = (int(x) for x in m.groups())
     arr = np.frombuffer(blob, dtype=np.uint8, count=w * h * 3, offset=m.end())
     arr = arr.reshape(h, w, 3)
@@ -347,9 +533,9 @@ def resize_ppm(blob: bytes, width: int, height: int) -> bytes:
 
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
-    """Image resize pass: REAL nearest-neighbor resampling for PPM
-    payloads (resize_ppm); non-PPM formats raise through the honest codec
-    stub.  Column-pruned mapInPandas, one output row per image."""
+    """Image resize pass: REAL nearest-neighbor resampling for PPM and
+    truecolor-PNG payloads (resize_ppm); other formats raise through the
+    honest codec stub.  Column-pruned mapInPandas, one row per image."""
     pruned = media.where(F.col("kind") == "image").select("media_id", "media")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -3,6 +3,7 @@ multimodal plumbing — semantic checks against pure-Python recomputation
 and injected ground truth."""
 
 import hashlib
+import struct
 
 import numpy as np
 import pytest
@@ -268,8 +269,65 @@ def test_multimodal_plumbing(docs):
 
 
 def test_decode_media_is_honestly_stubbed():
+    # JPEG genuinely needs a codec library absent from this container
     with pytest.raises(NotImplementedError):
-        MM.decode_media(b"\x89PNG", "image")
+        MM.decode_media(b"\xff\xd8\xff\xe0 fake jpeg", "image")
+    # ...and so do PNG layouts beyond 8-bit gray/truecolor: a 16-bit-depth
+    # IHDR must refuse rather than mis-decode
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob = MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+    with pytest.raises(NotImplementedError):
+        MM.decode_media(blob, "image")
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png → decode_media is exact for every scanline filter type,
+    on a raster where the filters actually differ (non-constant bytes)."""
+    w, h = 7, 5
+    raster = bytes((i * 37 + (i * i) % 11) % 256 for i in range(w * h * 3))
+    want_mean = sum(raster) // len(raster)
+    for ft in range(5):
+        blob = MM.encode_png(w, h, raster=raster, filter_type=ft)
+        out = MM.decode_media(blob, "image")
+        assert out == {
+            "kind": "image", "width": w, "height": h, "mean_val": want_mean,
+        }, f"filter {ft}"
+
+
+def test_png_grayscale_decode():
+    """The decoder's ctype=0 (8-bit gray) path: hand-built single-IDAT
+    PNG with an up-filtered second row."""
+    import zlib
+
+    w, h = 4, 2
+    row0, row1 = bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45])
+    scan = bytes([0]) + row0 + bytes([2]) + bytes(
+        (row1[i] - row0[i]) & 255 for i in range(w))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    blob = (MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+            + MM._png_chunk(b"IDAT", zlib.compress(scan))
+            + MM._png_chunk(b"IEND", b""))
+    out = MM.decode_media(blob, "image")
+    assert out == {"kind": "image", "width": w, "height": h,
+                   "mean_val": sum(row0 + row1) // (w * h)}
+
+
+def test_png_rejects_corruption():
+    """Bit-flip inside a chunk body → CRC mismatch; truncated IDAT raster
+    → ValueError. Both must be ValueError (→ decoded=0 in decode_stats),
+    never a silent wrong answer."""
+    blob = bytearray(MM.encode_png(6, 4, value=123, filter_type=1))
+    blob[40] ^= 0xFF  # somewhere inside IHDR/IDAT body
+    with pytest.raises(ValueError):
+        MM.decode_media(bytes(blob), "image")
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    short = (MM._PNG_SIG + MM._png_chunk(b"IHDR", ihdr)
+             + MM._png_chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+             + MM._png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        MM.decode_media(short, "image")
 
 
 def test_frame_sampling_fanout(docs):
@@ -364,11 +422,13 @@ def test_decode_stats_survives_corrupt_payloads(spark):
         (2, "image", bytearray(MM.encode_ppm(8, 6, 9)[:-10])),   # truncated
         (3, "audio", bytearray(b"RIFF\x04\x00\x00\x00WAVEfmt ")),  # short fmt
         (4, "audio", bytearray(b"\x00\x01\x02")),                # garbage
-        (5, "image", bytearray(b"\x89PNG....")),                 # NotImplemented
+        (5, "image", bytearray(b"\x89PNG....")),                 # bad magic
+        (6, "image", bytearray(MM._PNG_SIG + b"\x00garbage")),   # corrupt PNG
+        (7, "image", bytearray(MM.encode_png(4, 3, value=9))),   # good PNG
     ]
     df = spark.createDataFrame(rows, "media_id long, kind string, media binary")
     out = {r.media_id: r.decoded for r in MM.decode_stats(df).collect()}
-    assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0}
+    assert out == {0: 1, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 1}
 
 
 def test_pii_redact_hand_vectors(spark):

@@ -468,16 +468,19 @@ def write_bench_md(result: dict) -> None:
             # median across the round-3 protocol reps (wave 65 536,
             # 1 000-word pages) recorded in submit_scaling.jsonl — the
             # first two wave-65 536 rows predate that protocol
-            sub_med, reps = None, []
+            sub_med, sub_med_norm, reps, norms = None, None, [], []
             try:
                 with open(os.path.join("BENCH", "submit_scaling.jsonl")) as f:
-                    reps = [
-                        r["efficiency"]
+                    rows = [
+                        r
                         for r in map(json.loads, f)
                         if r.get("workload", {}).get("wave_size") == 65536
                         and r["ts"] >= 1787095000
                     ]
+                reps = [r["efficiency"] for r in rows]
+                norms = [r["normalized"] for r in rows if r.get("normalized")]
                 sub_med = _median(reps)
+                sub_med_norm = _median(norms)
             except (OSError, ValueError, KeyError):
                 pass
             lines.append(
@@ -487,8 +490,15 @@ def write_bench_md(result: dict) -> None:
                 "real deployment path, identical wave metrics at both "
                 "levels; round-3 protocol — wave 65 536, 1 000-word pages, "
                 "post-overlap engine — "
-                f"{len(reps)}-rep median {sub_med}, per-rep table "
-                "and the wave-131 072 probe in that file)."
+                f"{len(reps)}-rep median {sub_med} raw"
+                + (
+                    f", {sub_med_norm} normalized to the same-window "
+                    f"hardware ceiling across the {len(norms)} reps that "
+                    "carry a control"
+                    if norms
+                    else ""
+                )
+                + ", per-rep table and the wave-131 072 probe in that file)."
             )
     lines += [
         "",

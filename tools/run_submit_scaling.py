@@ -163,6 +163,34 @@ def run_one(zip_path: str, cores: int, pages_path: str | None = None) -> dict:
     return summary
 
 
+def run_control(cores: int) -> float:
+    """Framework-free hardware-ceiling probe at the SAME pinned core set,
+    run adjacent to each engine leg: bench.py's multiprocessing control
+    (same parse work, no Spark) measures how well a perfectly-parallel
+    job scales in THIS host window, so each rep's engine efficiency can
+    be read against the window's ceiling — the normalization the parse-
+    stage evidence in BENCH/BASELINE.md already uses."""
+    cmd = [
+        sys.executable,
+        os.path.join(HERE, "bench.py"),
+        "--worker",
+        str(cores),
+        "control",
+    ]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    proc = subprocess.run(
+        cmd, capture_output=True, text=True, cwd=HERE, timeout=1800
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("WORKER_JSON:"):
+            return json.loads(line[len("WORKER_JSON:") :])["pages_per_sec"]
+    raise RuntimeError(
+        f"control at {cores} cores produced no result; stderr: "
+        + proc.stderr[-1000:]
+    )
+
+
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     n_cores = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -186,9 +214,12 @@ def main() -> None:
     pages_path = synth_corpus(zip_path)
     rows = []
     for rep in range(reps):
+        cn = run_control(n_cores)
         rn = run_one(zip_path, n_cores, pages_path)
+        c4 = run_control(x4_cores)
         r4 = run_one(zip_path, x4_cores, pages_path)
         eff = round(r4["urls_per_sec"] / rn["urls_per_sec"] / factor, 3)
+        ctrl_eff = round(c4 / cn / factor, 3)
         # wave-composition determinism across parallelism levels
         keys = ("wave", "n_popped", "n_fetched", "n_failed", "n_new", "seen_size")
         waves_match = [
@@ -205,6 +236,10 @@ def main() -> None:
             "wall_4n": r4["wall_s"],
             "urls": rn["urls_fetched"],
             "efficiency": eff,
+            "control_n": cn,
+            "control_4n": c4,
+            "ctrl_eff": ctrl_eff,
+            "normalized": round(eff / ctrl_eff, 3) if ctrl_eff else None,
             "waves_match": waves_match,
             "workload": WORKLOAD,
         }

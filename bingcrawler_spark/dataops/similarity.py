@@ -361,3 +361,114 @@ def embedding_clone_pairs_sql(
     FROM c a JOIN c b ON a.bucket = b.bucket AND a.vid < b.vid
     WHERE round({cos} * 10000) >= {min_cos_e4}
     """
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    corpus: DataFrame,
+    min_cos_e4: int = 9990,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    coarse-cluster the embeddings, then WITHIN each cluster drop every
+    vector that has a higher-priority (lower-id) neighbor above the cosine
+    threshold — the paper's cluster-then-prune recipe with a deterministic
+    keep rule in place of its centroid-distance tie-break.
+
+    Clustering reuses ivf_topk's deterministic coarse quantizer (n_cells
+    lowest-id vectors as centroids, argmax-cosine assignment via a
+    broadcast fan-out folded by max_by) so the DuckDB oracle replicates
+    cell assignment exactly.
+
+    Scale shape: no all-pairs — candidate pairs exist only inside a cell,
+    so pair work is sum(|cell|^2) and n_cells is the knob that bounds it
+    (at 100 TB: tens of thousands of trained centroids keep cells at
+    ~1e3-1e4 vectors; assignment stays a broadcast fan-out, and the
+    assigned table would be written partitioned by cell so the self-join
+    never shuffles the corpus twice).  The prune rule is a left-semi
+    EXISTS, so the kept set needs no iterative connected components.
+    """
+    w_id = W.orderBy(F.col(id_col))
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("cell"),
+            F.col(vec_col).alias("cent"),
+        )
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "vec",
+            "cell",
+            cosine_col(F.col("vec"), F.col("cent")).alias("cc"),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.any_value(F.col("vec")).alias("vec"),
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id"))
+            & (
+                F.round(cosine_col(F.col("a.vec"), F.col("b.vec")) * 10000)
+                >= F.lit(min_cos_e4)
+            ),
+            "left_semi",
+        )
+        .select(F.col("a.vec_id").alias("vec_id"))
+    )
+    return (
+        assigned.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cell").cast("int").alias("cell"),
+            F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("kept"),
+        )
+    )
+
+
+def semdedup_sql(
+    corpus_sql: str,
+    min_cos_e4: int = 9990,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    cos_cc = cosine_sql("c.vec", "cents.cent")
+    cos_ab = cosine_sql("a.vec", "b.vec")
+    return f"""
+    WITH c AS (SELECT {id_col} AS vec_id, {vec_col} AS vec
+               FROM ({corpus_sql})),
+         cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                          vec AS cent
+                   FROM c ORDER BY vec_id LIMIT {n_cells}),
+         assigned AS (
+           SELECT vec_id, vec, cell FROM (
+             SELECT c.vec_id, c.vec, cents.cell,
+                    row_number() OVER (PARTITION BY c.vec_id
+                                       ORDER BY {cos_cc} DESC, cents.cell) AS ar
+             FROM c CROSS JOIN cents) WHERE ar = 1)
+    SELECT a.vec_id, a.cell::INT AS cell,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM assigned b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND round({cos_ab} * 10000) >= {min_cos_e4}
+           ) THEN 0 ELSE 1 END AS kept
+    FROM assigned a
+    """

@@ -1844,6 +1844,14 @@ def dd_embedding_clones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.embedding_clone_pairs(_embeddings_with_clones(spark, sf_dir))
 
 
+@register("dd_semdedup", SIM.semdedup_sql(EMB_CLONES_SQL))
+def dd_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): coarse-cluster embeddings, prune
+    within-cluster cosine near-dups with a deterministic keep-lowest-id
+    rule — cluster count bounds pair work, never all-pairs."""
+    return SIM.semdedup(_embeddings_with_clones(spark, sf_dir))
+
+
 _ANN_QUERIES_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10"
 _ANN_LSH_QUERIES_SQL = "SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20"
 
@@ -3041,6 +3049,7 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "dd_semdedup",
     "lo_bucket_join",
     "lo_salted_join",
     "sk_hll_users",

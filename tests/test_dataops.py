@@ -213,6 +213,29 @@ def test_embedding_clone_pairs(emb):
     assert want <= got
 
 
+def test_semdedup_hand_vectors(spark):
+    """Deterministic centroids = 2 lowest ids; near-parallel vectors drop
+    in favor of the lowest id in their cell; the diagonal vector ties on
+    centroid cosine (goes to the lowest cell) and survives."""
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [1.0, 0.01]),   # cell 0, cos vs id0 ≈ 0.99995 → dropped
+        (3, [0.01, 1.0]),   # cell 1, cos vs id1 ≈ 0.99995 → dropped
+        (4, [0.7, 0.7]),    # centroid-cos tie → cell 0; no close lower id
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: (r.cell, r.kept)
+           for r in SIM.semdedup(df, min_cos_e4=9990, n_cells=2).collect()}
+    assert out == {0: (0, 1), 1: (1, 1), 2: (0, 0), 3: (1, 0), 4: (0, 1)}
+    # exact duplicate of the keeper is also pruned
+    df2 = spark.createDataFrame(rows + [(5, [1.0, 0.0])],
+                                "vec_id long, embedding array<float>")
+    out2 = {r.vec_id: r.kept
+            for r in SIM.semdedup(df2, min_cos_e4=9990, n_cells=2).collect()}
+    assert out2[5] == 0 and out2[0] == 1
+
+
 # --------------------------------------------------------------- textstats
 
 

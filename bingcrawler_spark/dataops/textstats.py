@@ -379,3 +379,84 @@ def pii_redact_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
     SELECT {id_col}, {counts}, md5({red}) AS redacted_md5
     FROM ({docs_sql})
     """
+
+
+# ------------------------------------------------------- boilerplate strip
+
+# Block-level html segmentation + link-density filtering — the jusText /
+# C4 "remove boilerplate" recipe (Pomikálek 2011; Raffel et al. 2020)
+# reduced to a deterministic two-rule form both engines can evaluate:
+# a block survives iff its tag-stripped text has >= min_chars chars AND
+# anchor-text chars are under one third of its text chars.  All three
+# regexes are RE2-and-Java-compatible so Spark and DuckDB split/extract
+# identically.
+BLOCK_SPLIT_RE = "(?i)</(?:p|div|li|h[1-6]|td|section|article)>"
+ANCHOR_RE = "(?i)<a[^>]*>(.*?)</a>"
+TAG_RE = "<[^>]*>"
+
+
+def boilerplate_strip(
+    docs: DataFrame,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Main-content extraction: split html into blocks at closing block
+    tags, drop link-dense and tiny blocks, join survivors with newlines.
+
+    Scale shape: pure JVM column expressions (split / transform / filter /
+    aggregate) inside whole-stage codegen — shuffle-free, no UDF, no
+    Python in the hot path; at 100 TB this runs at parquet-scan speed."""
+
+    def block_text(b):
+        return F.trim(F.regexp_replace(b, TAG_RE, ""))
+
+    def anchor_chars(b):
+        return F.aggregate(
+            F.regexp_extract_all(b, F.lit(ANCHOR_RE), 1),
+            F.lit(0),
+            lambda acc, s: acc + F.length(s),
+        )
+
+    blocks = F.split(F.col(html_col), BLOCK_SPLIT_RE)
+    kept = F.filter(
+        blocks,
+        lambda b: (F.length(block_text(b)) >= min_chars)
+        & (anchor_chars(b) * 3 < F.length(block_text(b))),
+    )
+    texts = F.transform(kept, block_text)
+    return docs.select(
+        F.col(id_col),
+        F.array_join(texts, "\n").alias("main_text"),
+        F.size(texts).cast("int").alias("blocks_kept"),
+        F.size(blocks).cast("int").alias("blocks_total"),
+    )
+
+
+def boilerplate_strip_sql(
+    docs_sql: str,
+    html_col: str = "html",
+    id_col: str = "doc_id",
+    min_chars: int = 30,
+) -> str:
+    # NB: DuckDB regexp_replace needs the 'g' flag to match Spark's
+    # replace-all; list_aggregate('sum') of an empty list is NULL.
+    text = f"trim(regexp_replace(bl, '{TAG_RE}', '', 'g'))"
+    anchors = (
+        "coalesce(list_aggregate(list_transform("
+        f"regexp_extract_all(bl, '{ANCHOR_RE}', 1), s -> length(s)), 'sum'), 0)"
+    )
+    pred = f"length({text}) >= {min_chars} AND {anchors} * 3 < length({text})"
+    return f"""
+    WITH d AS ({docs_sql}),
+         b AS (SELECT {id_col},
+                      string_split_regex({html_col}, '{BLOCK_SPLIT_RE}') AS blocks
+               FROM d)
+    SELECT {id_col},
+           array_to_string(
+             list_transform(list_filter(blocks, bl -> {pred}), bl -> {text}),
+             chr(10)) AS main_text,
+           len(list_filter(blocks, bl -> {pred}))::INT AS blocks_kept,
+           len(blocks)::INT AS blocks_total
+    FROM b
+    """

@@ -29,6 +29,7 @@ from bingcrawler_spark import analytics as A
 from bingcrawler_spark import frontier as FR
 from bingcrawler_spark import xhash as X
 from bingcrawler_spark.functions import bingparse as BP
+from bingcrawler_spark.functions import robots as RB
 from bingcrawler_spark.functions import tenderparse as TP
 from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
@@ -1916,6 +1917,37 @@ def ts_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.fingerprints(_t(spark, sf_dir, "documents"))
 
 
+# Deterministic page wrapper for the boilerplate query: nav / ad / short /
+# footer blocks around the document body, built with the same concat on
+# both engines so ONLY the extractor is under test.
+_BP_PAGE_PARTS = (
+    '<html><body><div id="nav"><a href="/">Home</a> <a href="/a">About</a>'
+    ' <a href="/c">Contact</a></div><p>',
+    '</p><div class="ad"><a href="/buy">BUY NOW</a></div><p>Short.</p>'
+    '<div class="footer"><a href="/t">Terms</a> <a href="/p">Privacy</a>'
+    " (c) 2026</div></body></html>",
+)
+_BP_DOCS_SQL = (
+    "SELECT doc_id, '{0}' || text || '{1}' AS html FROM documents".format(
+        *_BP_PAGE_PARTS
+    )
+)
+
+
+@register("ts_boilerplate", TS.boilerplate_strip_sql(_BP_DOCS_SQL))
+def ts_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/C4-style boilerplate removal: block split at closing block
+    tags, link-density + min-length gate, newline-joined main text — all
+    JVM column expressions, shuffle-free."""
+    pages = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit(_BP_PAGE_PARTS[0]), F.col("text"), F.lit(_BP_PAGE_PARTS[1])
+        ).alias("html"),
+    )
+    return TS.boilerplate_strip(pages)
+
+
 @register("ts_quality_filters", TS.quality_filters_sql(_DOCS_SQL))
 def ts_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4-style gating rules per document (word count, mean word
@@ -2764,6 +2796,80 @@ _S7_SQL = f"""
 """
 
 
+# --- S8: robots.txt parse + URL gate (RFC 9309; the reference's browser
+# crawler never consults robots — a batch engine must) -------------------
+
+# one robots.txt per nation-derived host; hosts ≡ 0 (mod 3) carry a
+# bingcrawler-specific group so the gate's group SELECTION (not merging)
+# is under test; the * group's Allow is the Disallow prefix + '2' so
+# longest-match and allow-beats-disallow both fire
+_ROBOTS_SRC_SQL = """
+SELECT 'h' || n_nationkey AS host,
+       '# synthetic robots
+User-agent: *
+Disallow: /p/' || (n_nationkey % 10) || '
+Allow: /p/' || (n_nationkey % 10) || '2
+Crawl-delay: ' || (n_nationkey % 7 + 1) ||
+       CASE WHEN n_nationkey % 3 = 0 THEN '
+User-agent: bingcrawler
+Disallow: /q' ELSE '' END AS robots_txt
+FROM nation
+"""
+
+_GATE_URLS_SQL = """
+SELECT 'http://h' || (doc_id % 25) ||
+       CASE WHEN doc_id % 11 = 0 THEN ''
+            ELSE '/p/' || (doc_id % 130) END AS url
+FROM documents
+"""
+
+
+def _robots_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = F.col("n_nationkey")
+    return _t(spark, sf_dir, "nation").select(
+        F.concat(F.lit("h"), n.cast("string")).alias("host"),
+        F.concat(
+            F.lit("# synthetic robots\nUser-agent: *\nDisallow: /p/"),
+            (n % 10).cast("string"),
+            F.lit("\nAllow: /p/"),
+            (n % 10).cast("string"),
+            F.lit("2\nCrawl-delay: "),
+            (n % 7 + 1).cast("string"),
+            F.when(
+                n % 3 == 0, F.lit("\nUser-agent: bingcrawler\nDisallow: /q")
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+
+
+@register("s8_robots_parse", RB.parse_robots_sql(_ROBOTS_SRC_SQL))
+def s8_robots_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt → ordered rule rows: line split, comment strip,
+    User-agent group assignment by cumulative-count window."""
+    return RB.parse_robots(_robots_src(spark, sf_dir))
+
+
+@register(
+    "s8_robots_gate",
+    RB.robots_gate_sql(_GATE_URLS_SQL, RB.parse_robots_sql(_ROBOTS_SRC_SQL)),
+)
+def s8_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL allow/deny under RFC 9309 group selection + longest-prefix
+    match (host-co-located equi-join, partial-aggregatable fold)."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("http://h"),
+            (F.col("doc_id") % 25).cast("string"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("")).otherwise(
+                F.concat(F.lit("/p/"), (F.col("doc_id") % 130).cast("string"))
+            ),
+        ).alias("url")
+    )
+    rules = RB.parse_robots(_robots_src(spark, sf_dir))
+    return RB.robots_gate(urls, rules)
+
+
 @register("s7_pdf_text", _S7_SQL)
 def s7_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 (PdfBox.java:15-48 via ProfileSimHashTask.java:94-124): write
@@ -3049,6 +3155,9 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "s8_robots_parse",
+    "s8_robots_gate",
+    "ts_boilerplate",
     "dd_semdedup",
     "lo_bucket_join",
     "lo_salted_join",

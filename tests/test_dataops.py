@@ -269,6 +269,30 @@ def test_lang_id_deterministic(docs):
     assert all(r.lang_guess in TS.LANG_STOPWORDS for r in a)
 
 
+def test_boilerplate_strip_hand_vectors(spark):
+    """Nav (link-dense), ad (one link), tiny, and footer blocks drop; the
+    long low-link paragraph and a long div survive in order."""
+    body = "word " * 12  # 60 chars incl trailing space, trimmed to 59
+    html = (
+        '<div><a href="/">Home</a> <a href="/a">About</a></div>'
+        f"<p>{body}</p>"
+        '<div><a href="/b">BUY</a></div>'
+        "<p>tiny</p>"
+        f"<div>closing thoughts: {body}</div>"
+        "<footer>end</footer>"
+    )
+    df = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    r = TS.boilerplate_strip(df).collect()[0]
+    assert r.blocks_total == 6  # 5 closes + trailing '<footer>end</footer>'
+    assert r.blocks_kept == 2
+    assert r.main_text == f"{body.strip()}\nclosing thoughts: {body.strip()}"
+    # a block whose anchor text is exactly 1/3 of its chars is dropped
+    # (strict inequality), just over 1/3 non-link survives nothing extra
+    third = '<p><a href="/x">0123456789</a>01234567890123456789</p>'
+    df2 = spark.createDataFrame([(2, third)], "doc_id long, html string")
+    assert TS.boilerplate_strip(df2).collect()[0].blocks_kept == 0
+
+
 # --------------------------------------------------------------- multimodal
 
 

@@ -75,6 +75,9 @@ HEADLINE = [
     "ix_bm25_search",
     "sk_hll_users",
     "lo_bucket_join",
+    "dd_semdedup",
+    "ts_boilerplate",
+    "s8_robots_gate",
 ]
 
 

@@ -78,6 +78,7 @@ HEADLINE = [
     "dd_semdedup",
     "ts_boilerplate",
     "s8_robots_gate",
+    "tok_bpe_train",
 ]
 
 

@@ -92,16 +92,12 @@ def _merge_pair(state: DataFrame, x: str, y: str) -> DataFrame:
     )
 
 
-def bpe_train(
-    docs: DataFrame,
-    k: int = 4,
-    text_col: str = "text",
-    n_words: int = 200,
-) -> DataFrame:
-    """Learn ``k`` BPE merges; returns (round, x, y, freq) — the ordered
-    merge table a tokenizer applies at encode time.  One 1-row collect per
-    round (the global argmax); everything else stays distributed."""
-    spark = docs.sparkSession
+def _train(
+    docs: DataFrame, k: int, text_col: str, n_words: int
+) -> tuple[list, DataFrame]:
+    """Run the K training rounds; returns (merge rows, final word→tokens
+    state).  The final state comes back persisted AND materialized so
+    callers can drop the intermediate lineage."""
     state = word_histogram(docs, text_col=text_col, n_words=n_words).persist()
     rows = []
     prev = None
@@ -122,23 +118,72 @@ def bpe_train(
         x, y, freq = win[0]["x"], win[0]["y"], int(win[0]["freq"])
         rows.append((r, x, y, freq))
         prev, state = state, _merge_pair(state, x, y).persist()
-    state.unpersist()
+    state.count()
     if prev is not None:
         prev.unpersist()
+    return rows, state
+
+
+def bpe_train(
+    docs: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    n_words: int = 200,
+) -> DataFrame:
+    """Learn ``k`` BPE merges; returns (round, x, y, freq) — the ordered
+    merge table a tokenizer applies at encode time.  One 1-row collect per
+    round (the global argmax); everything else stays distributed."""
+    spark = docs.sparkSession
+    rows, state = _train(docs, k, text_col, n_words)
+    state.unpersist()
     return spark.createDataFrame(
         rows, "round int, x string, y string, freq long"
     )
 
 
-def bpe_train_sql(
-    docs_sql: str,
+def bpe_encode_counts(
+    docs: DataFrame,
     k: int = 4,
     text_col: str = "text",
     n_words: int = 200,
-    max_len: int = 16,
-) -> str:
-    """DuckDB replay of the K training rounds as mechanically unrolled CTE
-    blocks — same histogram, same tie-breaks, same gaps-and-islands merge."""
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply the learned merges to the corpus and count BPE tokens per
+    document — the encode half, in the scale-correct shape: merges are
+    applied ONCE on the distinct-word state (vocab-sized), then joined
+    back onto the exploded corpus via a broadcast (the vocab table is
+    tiny next to the corpus).  Out-of-vocabulary words fall back to
+    character tokens, so their count is their character length."""
+    spark = docs.sparkSession
+    _rows, state = _train(docs, k, text_col, n_words)
+    # the trained vocab is ≤ n_words rows: pin it as a literal table so the
+    # cached training state can be released before the corpus-side plan runs
+    vocab = spark.createDataFrame(state.collect(), state.schema)
+    state.unpersist()
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"),
+    ).where(F.col("word") != "")
+    joined = words.join(F.broadcast(vocab.select("word", "toks")), "word", "left")
+    return joined.groupBy(id_col).agg(
+        F.sum(
+            F.coalesce(F.size(F.split("toks", " ")), F.length("word"))
+        )
+        .cast("long")
+        .alias("bpe_tokens")
+    )
+
+
+def _sql_blocks(
+    docs_sql: str,
+    k: int,
+    text_col: str,
+    n_words: int,
+    max_len: int,
+) -> list[str]:
+    """The K unrolled training-round CTE blocks shared by the train and
+    encode oracles (all MATERIALIZED: DuckDB inlines plain CTEs, and the
+    per-row scalar subqueries would re-evaluate the whole chain)."""
     blocks = [
         f"""
     state1 AS MATERIALIZED (
@@ -207,7 +252,46 @@ def bpe_train_sql(
       GROUP BY word
     )"""
         )
+    return blocks
+
+
+def bpe_train_sql(
+    docs_sql: str,
+    k: int = 4,
+    text_col: str = "text",
+    n_words: int = 200,
+    max_len: int = 16,
+) -> str:
+    """DuckDB replay of the K training rounds as mechanically unrolled CTE
+    blocks — same histogram, same tie-breaks, same gaps-and-islands merge."""
+    blocks = _sql_blocks(docs_sql, k, text_col, n_words, max_len)
     unions = "\n    UNION ALL\n".join(
         f"    SELECT {r} AS round, x, y, freq FROM w{r}" for r in range(1, k + 1)
     )
     return "WITH" + ",".join(blocks) + "\n" + unions
+
+
+def bpe_encode_sql(
+    docs_sql: str,
+    k: int = 4,
+    text_col: str = "text",
+    n_words: int = 200,
+    max_len: int = 16,
+    id_col: str = "doc_id",
+) -> str:
+    """Encode oracle: replay training, then join the final state back onto
+    the exploded corpus; OOV words count their characters."""
+    blocks = _sql_blocks(docs_sql, k, text_col, n_words, max_len)
+    tail = f"""
+    corpus AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS word
+      FROM ({docs_sql})
+    )
+    SELECT c.{id_col},
+           sum(coalesce(len(string_split(s.toks, ' ')),
+                        length(c.word)))::BIGINT AS bpe_tokens
+    FROM (SELECT * FROM corpus WHERE word != '') c
+    LEFT JOIN state{k + 1} s ON c.word = s.word
+    GROUP BY c.{id_col}
+    """
+    return "WITH" + ",".join(blocks) + "," + tail

@@ -1935,6 +1935,14 @@ _BP_DOCS_SQL = (
 )
 
 
+@register("tok_bpe_encode", TK.bpe_encode_sql(_DOCS_SQL, k=6, n_words=150))
+def tok_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE encode: apply the 6 learned merges to every document and count
+    tokens — merges applied once on the vocab-sized state, broadcast-joined
+    back onto the exploded corpus; OOV words fall back to char tokens."""
+    return TK.bpe_encode_counts(_t(spark, sf_dir, "documents"), k=6, n_words=150)
+
+
 @register("tok_bpe_train", TK.bpe_train_sql(_DOCS_SQL, k=6, n_words=150))
 def tok_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer training (arXiv:1508.07909): 6 merge rounds over the
@@ -3169,6 +3177,7 @@ _CHECK_FIRST = [
     "s8_robots_parse",
     "s8_robots_gate",
     "tok_bpe_train",
+    "tok_bpe_encode",
     "ts_boilerplate",
     "dd_semdedup",
     "lo_bucket_join",

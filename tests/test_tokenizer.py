@@ -64,3 +64,55 @@ def test_bpe_matches_python_on_synthetic_docs(spark, sf_dir):
            for r in TK.bpe_train(sample, k=5, n_words=80)
            .orderBy("round").collect()]
     assert got == want
+
+
+def py_bpe_encode(texts, k, n_words=200, max_len=16):
+    """Per-doc BPE token counts with the same training + OOV-chars rule."""
+    merges = py_bpe(texts, k, n_words, max_len)
+    vocab_state = {}
+
+    def apply(word):
+        toks = vocab_state.get(word)
+        if toks is None:
+            toks = list(word)
+            for _, x, y, _ in merges:
+                new, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == x and toks[i + 1] == y:
+                        new.append(x + y)
+                        i += 2
+                    else:
+                        new.append(toks[i])
+                        i += 1
+                toks = new
+            vocab_state[word] = toks
+        return len(toks)
+
+    # mirror the engine: only trained (top-n_words, len<=max_len) words get
+    # merged; everything else counts characters
+    cnt = Counter(w for t in texts for w in t.split(" ") if w and len(w) <= max_len)
+    trained = {w for w, _ in
+               sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:n_words]}
+    out = {}
+    for i, t in enumerate(texts):
+        words = [w for w in t.split(" ") if w]
+        out[i] = sum(apply(w) if w in trained else len(w) for w in words)
+    return out
+
+
+def test_bpe_encode_counts_match_python(spark):
+    texts = [
+        "low low lower lowest newer",
+        "aaaa aaaa banana low",
+        "zz qq zz verylongunseenword",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    want = py_bpe_encode(texts, k=6)
+    got = {r.doc_id: r.bpe_tokens
+           for r in TK.bpe_encode_counts(df, k=6).collect()}
+    assert got == want
+    # merging strictly reduced at least one doc below its char count
+    charcounts = {i: sum(len(w) for w in t.split(" ") if w)
+                  for i, t in enumerate(texts)}
+    assert any(got[i] < charcounts[i] for i in got)

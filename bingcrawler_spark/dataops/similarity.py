@@ -418,6 +418,10 @@ def semdedup(
                 F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
             ).alias("cell"),
         )
+        # branch point: the assignment feeds both semi-join sides and the
+        # verdict — persist so the broadcast fan-out runs once, not thrice
+        # (at 100 TB this is the write-partitioned-by-cell materialization)
+        .persist()
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (

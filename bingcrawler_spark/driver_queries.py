@@ -35,6 +35,7 @@ from bingcrawler_spark.dataops import dedup as DD
 from bingcrawler_spark.dataops import multimodal as MM
 from bingcrawler_spark.dataops import pipeline as PL
 from bingcrawler_spark.dataops import sampling as DS
+from bingcrawler_spark.dataops import selection as SEL
 from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
 from bingcrawler_spark.dataops import tokenizer as TK
@@ -2331,6 +2332,39 @@ def gr_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "gr_host_hits",
+    GR.host_hits_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities (3 iterations, divide-by-max int64 fixed
+    point) over the same deterministic host graph as gr_host_pagerank —
+    the second classic link-authority signal a frontier ranks with
+    (vs the reference's static UrlNode.weight, SURVEY §2 F1/F5)."""
+    return GR.host_hits(
+        GR.doc_host_edges(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+@register("sel_dsir_topk", SEL.dsir_select_sql(_DOCS_SQL))
+def sel_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (Xie et al. 2023): hashed
+    unigram+bigram bucket model over the en slice as the target
+    domain, integer likelihood-ratio scores, deterministic top-100 —
+    the model-based upgrade of the reference's keyword corpus gating
+    (CommonAnalysis.java search filters, SURVEY §2 R16)."""
+    return SEL.dsir_select(_t(spark, sf_dir, "documents"))
+
+
+@register("sel_lm_fluency", SEL.lm_fluency_sql(_DOCS_SQL))
+def sel_lm_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style count-LM fluency scoring: add-1 bigram LM trained on
+    the en slice, broadcast to the corpus scan, head/middle/tail
+    buckets by fixed cutoffs (the distributed shape of CCNet's
+    KenLM-perplexity split)."""
+    return SEL.lm_fluency(_t(spark, sf_dir, "documents"))
+
+
+@register(
     "src_warc_roundtrip",
     """
     SELECT 'https://host' || (doc_id % 32)::VARCHAR || '.example/doc/'
@@ -3174,6 +3208,9 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "sel_dsir_topk",
+    "sel_lm_fluency",
+    "gr_host_hits",
     "s8_robots_parse",
     "s8_robots_gate",
     "tok_bpe_train",

@@ -105,6 +105,116 @@ def host_pagerank(
     return out
 
 
+def host_hits(
+    edges: DataFrame, n_iter: int = 3, checkpoint_every: int = 2
+) -> DataFrame:
+    """HITS hubs/authorities over the same (s, d) host multigraph —
+    PageRank's companion signal (Kleinberg 1999): a good hub links to
+    good authorities and vice versa.  The crawl frontier uses hub
+    scores to prioritize link-rich index pages and authority scores to
+    prioritize content hosts.
+
+    Same engineering contract as host_pagerank: int64 fixed point
+    (1.0 ≡ 1_000_000), with the paper's L2 normalization replaced by
+    divide-by-max each half-step (`v·10⁶ div max(v)`) so every value
+    stays in [0, 10⁶] — bounded (no overflow at any scale while
+    Σ edge-multiplicities < 9·10¹²), associative-exact, bit-identical
+    across partitionings and engines.  Per half-iteration: one shuffle
+    keyed by the joined endpoint + one max() reduce broadcast back —
+    all over |hosts|-sized relations."""
+    g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    hosts = (
+        edges.select(F.col("s").alias("host"))
+        .union(edges.select(F.col("d").alias("host")))
+        .distinct()
+        .persist()
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        m = df.agg(F.greatest(F.max(col), F.lit(1)).alias("m"))
+        return df.crossJoin(F.broadcast(m)).select(
+            "host", F.expr(f"div({col} * {INIT_FP}, m)").alias(col)
+        )
+
+    hub = hosts.withColumn("h", F.lit(INIT_FP).cast("long"))
+    auth = hosts.withColumn("a", F.lit(0).cast("long"))
+    for i in range(n_iter):
+        araw = (
+            g.join(hub.withColumnRenamed("host", "sh"), F.col("sh") == g["s"])
+            .select(F.col("d"), (F.col("cnt") * F.col("h")).alias("x"))
+            .groupBy("d")
+            .agg(F.sum("x").alias("x"))
+        )
+        auth = _norm(
+            hosts.join(araw, hosts["host"] == araw["d"], "left").select(
+                "host", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("a")
+            ),
+            "a",
+        )
+        hraw = (
+            g.join(auth.withColumnRenamed("host", "ah"), F.col("ah") == g["d"])
+            .select(F.col("s"), (F.col("cnt") * F.col("a")).alias("x"))
+            .groupBy("s")
+            .agg(F.sum("x").alias("x"))
+        )
+        hub = _norm(
+            hosts.join(hraw, hosts["host"] == hraw["s"], "left").select(
+                "host", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("h")
+            ),
+            "h",
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
+    return hub.join(auth, "host").select(
+        F.col("host").cast("int").alias("host"),
+        F.col("h").alias("hub_fp"),
+        F.col("a").alias("auth_fp"),
+    )
+
+
+def host_hits_sql(docs_sql: str, n_iter: int = 3, n_hosts: int = 32) -> str:
+    """Chained-CTE DuckDB twin of doc_host_edges → host_hits."""
+    ctes = [
+        f"e AS (SELECT doc_id % {n_hosts} AS s,"
+        f" ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS d"
+        f" FROM ({docs_sql}))",
+        "g AS (SELECT s, d, count(*)::BIGINT AS cnt FROM e GROUP BY s, d)",
+        "hosts AS (SELECT DISTINCT s AS host FROM e"
+        " UNION SELECT DISTINCT d FROM e)",
+        f"h0 AS (SELECT host, {INIT_FP}::BIGINT AS h FROM hosts)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"a{i}r AS (SELECT hs.host,"
+            f" coalesce(sum(g.cnt * hb.h), 0)::BIGINT AS a"
+            f" FROM hosts hs LEFT JOIN g ON g.d = hs.host"
+            f" LEFT JOIN h{i - 1} hb ON hb.host = g.s GROUP BY hs.host)"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT host, (a * {INIT_FP}"
+            f" // greatest((SELECT max(a) FROM a{i}r), 1))::BIGINT AS a"
+            f" FROM a{i}r)"
+        )
+        ctes.append(
+            f"h{i}r AS (SELECT hs.host,"
+            f" coalesce(sum(g.cnt * au.a), 0)::BIGINT AS h"
+            f" FROM hosts hs LEFT JOIN g ON g.s = hs.host"
+            f" LEFT JOIN a{i} au ON au.host = g.d GROUP BY hs.host)"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT host, (h * {INIT_FP}"
+            f" // greatest((SELECT max(h) FROM h{i}r), 1))::BIGINT AS h"
+            f" FROM h{i}r)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT hs.host::INT AS host,"
+        f" h.h AS hub_fp, a.a AS auth_fp"
+        f" FROM hosts hs JOIN h{n_iter} h ON h.host = hs.host"
+        f" JOIN a{n_iter} a ON a.host = hs.host"
+    )
+
+
 def host_pagerank_sql(
     docs_sql: str, n_iter: int = 5, n_hosts: int = 32
 ) -> str:

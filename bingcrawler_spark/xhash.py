@@ -100,6 +100,29 @@ def shingles_sql(expr: str, n: int = 3) -> str:
     )
 
 
+def ngrams_col(text: Column, n: int = 2) -> Column:
+    """Ordered word n-grams WITH duplicates — count-model features
+    (unlike shingles_col, which dedups+sorts for set semantics)."""
+    t = tokens_col(text)
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))  # 1-based
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(t, i + j) for j in range(n)]
+    )
+    return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngrams_sql(expr: str, n: int = 2) -> str:
+    t = tokens_sql(expr)
+    parts = " || ' ' || ".join(f"__t[i + {j}]" for j in range(n))
+    return (
+        f"CASE WHEN len(__t) >= {n} THEN "
+        f"list_transform(generate_series(1, len(__t) - {n - 1}), i -> {parts}) "
+        f"ELSE [] END".replace("__t", f"({t})")
+    )
+
+
 # ------------------------------------------------------------------ minhash
 
 

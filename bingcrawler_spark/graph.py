@@ -131,6 +131,10 @@ def host_hits(
     )
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
+        # df is referenced twice (max reduce + the divide); persist so the
+        # raw half-step computes once — unpersisted, each half-step would
+        # recompute its whole ancestry per reference (2^half-steps blowup).
+        df = df.persist()
         m = df.agg(F.greatest(F.max(col), F.lit(1)).alias("m"))
         return df.crossJoin(F.broadcast(m)).select(
             "host", F.expr(f"div({col} * {INIT_FP}, m)").alias(col)
@@ -164,8 +168,10 @@ def host_hits(
             "h",
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            hub = hub.localCheckpoint(eager=False)
-            auth = auth.localCheckpoint(eager=False)
+            # eager: materialize now so Catalyst plans the next iteration
+            # from a leaf (|hosts|-sized) instead of the full join history.
+            hub = hub.localCheckpoint(eager=True)
+            auth = auth.localCheckpoint(eager=True)
     return hub.join(auth, "host").select(
         F.col("host").cast("int").alias("host"),
         F.col("h").alias("hub_fp"),
@@ -175,35 +181,39 @@ def host_hits(
 
 def host_hits_sql(docs_sql: str, n_iter: int = 3, n_hosts: int = 32) -> str:
     """Chained-CTE DuckDB twin of doc_host_edges → host_hits."""
+    # AS MATERIALIZED: every iteration CTE is referenced twice (the value
+    # column and the max() normalizer); DuckDB would otherwise inline each
+    # reference, recomputing the whole chain 2^half-steps times.
     ctes = [
-        f"e AS (SELECT doc_id % {n_hosts} AS s,"
+        f"e AS MATERIALIZED (SELECT doc_id % {n_hosts} AS s,"
         f" ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS d"
         f" FROM ({docs_sql}))",
-        "g AS (SELECT s, d, count(*)::BIGINT AS cnt FROM e GROUP BY s, d)",
-        "hosts AS (SELECT DISTINCT s AS host FROM e"
+        "g AS MATERIALIZED (SELECT s, d, count(*)::BIGINT AS cnt"
+        " FROM e GROUP BY s, d)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT s AS host FROM e"
         " UNION SELECT DISTINCT d FROM e)",
         f"h0 AS (SELECT host, {INIT_FP}::BIGINT AS h FROM hosts)",
     ]
     for i in range(1, n_iter + 1):
         ctes.append(
-            f"a{i}r AS (SELECT hs.host,"
+            f"a{i}r AS MATERIALIZED (SELECT hs.host,"
             f" coalesce(sum(g.cnt * hb.h), 0)::BIGINT AS a"
             f" FROM hosts hs LEFT JOIN g ON g.d = hs.host"
             f" LEFT JOIN h{i - 1} hb ON hb.host = g.s GROUP BY hs.host)"
         )
         ctes.append(
-            f"a{i} AS (SELECT host, (a * {INIT_FP}"
+            f"a{i} AS MATERIALIZED (SELECT host, (a * {INIT_FP}"
             f" // greatest((SELECT max(a) FROM a{i}r), 1))::BIGINT AS a"
             f" FROM a{i}r)"
         )
         ctes.append(
-            f"h{i}r AS (SELECT hs.host,"
+            f"h{i}r AS MATERIALIZED (SELECT hs.host,"
             f" coalesce(sum(g.cnt * au.a), 0)::BIGINT AS h"
             f" FROM hosts hs LEFT JOIN g ON g.s = hs.host"
             f" LEFT JOIN a{i} au ON au.host = g.d GROUP BY hs.host)"
         )
         ctes.append(
-            f"h{i} AS (SELECT host, (h * {INIT_FP}"
+            f"h{i} AS MATERIALIZED (SELECT host, (h * {INIT_FP}"
             f" // greatest((SELECT max(h) FROM h{i}r), 1))::BIGINT AS h"
             f" FROM h{i}r)"
         )

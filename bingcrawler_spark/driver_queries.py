@@ -45,6 +45,7 @@ from bingcrawler_spark import warc as WARC
 from bingcrawler_spark import indexing as IX
 from bingcrawler_spark import sketches as SK
 from bingcrawler_spark import layout as LO
+from bingcrawler_spark import urlfilter as UF
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -3197,6 +3198,109 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---- anchor text / link spam / URL features (webgraph + crawl filtering)
+
+
+@register(
+    "gr_anchor_text",
+    GR.anchor_text_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-host top-3 anchor phrases (Brin & Page 1998 §2.2)
+    rolled up from the same deterministic host graph as
+    gr_host_pagerank — the index-side aggregation of the reference's
+    raw outlink walk (TextAnalysis.java href scan, SURVEY §2 P4)."""
+    return GR.anchor_text_topk(_t(spark, sf_dir, "documents").select("text"))
+
+
+@register(
+    "gr_link_spam",
+    GR.link_spam_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_link_spam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link-spam signals (out/in degree, self-links,
+    reciprocal-link ppm — Fetterly et al. 2004) over the deterministic
+    host multigraph; feeds the frontier's host down-weighting the way
+    UrlNode.weight decay does per-URL (SURVEY §2 F5/F11)."""
+    return GR.link_spam_signals(
+        GR.doc_host_edges(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+# URL corpus with scheme/path/extension/query variety, derived from
+# customer identically in both engines (path depth k%4, extension class
+# k%6 gated on a non-empty path, query arity + utm flags k%5).
+_URL_SEGS = "/sec/page/item"
+_URL_SEG_LEN = [0, 4, 9, 14]
+
+
+def _synth_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    path = F.expr(
+        f"substring('{_URL_SEGS}', 1,"
+        f" element_at(array(0, 4, 9, 14), cast(c_custkey % 4 + 1 as int)))"
+    )
+    ext = F.when(
+        path == "", F.lit("")
+    ).otherwise(
+        F.element_at(
+            F.array(
+                F.lit(".html"), F.lit(".jpg"), F.lit(".css"),
+                F.lit(""), F.lit(".pdf"), F.lit(".php"),
+            ),
+            (k % 6 + 1).cast("int"),
+        )
+    )
+    query = F.element_at(
+        F.array(
+            F.lit(""),
+            F.concat(F.lit("?id="), k.cast("string")),
+            F.concat(F.lit("?id="), k.cast("string"), F.lit("&utm_source=news")),
+            F.lit("?utm_campaign=x"),
+            F.lit("?a=1&b=2&c=3"),
+        ),
+        (k % 5 + 1).cast("int"),
+    )
+    return _t(spark, sf_dir, "customer").select(
+        F.concat(
+            F.when(k % 7 == 0, F.lit("https")).otherwise(F.lit("http")),
+            F.lit("://host"),
+            (k % 40).cast("string"),
+            F.lit(".example"),
+            path,
+            ext,
+            query,
+        ).alias("url")
+    )
+
+
+_SYNTH_URLS_SQL = f"""
+  SELECT (CASE WHEN c_custkey % 7 = 0 THEN 'https' ELSE 'http' END)
+         || '://host' || (c_custkey % 40)::VARCHAR || '.example'
+         || __path
+         || (CASE WHEN __path = '' THEN ''
+                  ELSE ['.html', '.jpg', '.css', '', '.pdf', '.php']
+                       [(c_custkey % 6 + 1)::INT] END)
+         || ['', '?id=' || c_custkey::VARCHAR,
+             '?id=' || c_custkey::VARCHAR || '&utm_source=news',
+             '?utm_campaign=x', '?a=1&b=2&c=3'][(c_custkey % 5 + 1)::INT]
+         AS url
+  FROM (SELECT c_custkey,
+               substring('{_URL_SEGS}', 1,
+                         [0, 4, 9, 14][(c_custkey % 4 + 1)::INT]) AS __path
+        FROM customer)
+"""
+
+
+@register("s10_url_features", UF.url_features_sql(_SYNTH_URLS_SQL))
+def s10_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier-insert URL classification (scheme/host/path depth/query
+    arity/utm tracking/extension class → keep gate) as pure JVM column
+    exprs — the web-scale generalization of BingCrawlerTask.java's
+    hard-coded candidate-link string checks (SURVEY §2 F2/P1)."""
+    return UF.url_features(_synth_urls(spark, sf_dir))
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -3208,6 +3312,9 @@ def window_top_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "gr_anchor_text",
+    "gr_link_spam",
+    "s10_url_features",
     "sel_dsir_topk",
     "sel_lm_fluency",
     "gr_host_hits",

@@ -254,3 +254,173 @@ def host_pagerank_sql(
         f" FROM hosts h JOIN it{n_iter} r ON r.host = h.host"
         f" LEFT JOIN ow ON ow.s = h.host"
     )
+
+
+# ------------------------------------------------------------- anchor text
+
+
+def anchor_text_topk(
+    docs: DataFrame, n_hosts: int = 32, topk: int = 3, n_anchor_toks: int = 2
+) -> DataFrame:
+    """Anchor-text aggregation: for every target host, the top-k anchor
+    phrases pointing at it — the classic web-index signal (anchor text
+    describes the TARGET better than the target's own words; Brin & Page
+    1998 §2.2).  The reference keeps only raw outlinks
+    (`TextAnalysis.java` href walk, SURVEY §2 P4); a search-engine-scale
+    corpus wants them rolled up per destination.
+
+    Edge derivation matches doc_host_edges (dst = first md5(text) byte
+    mod H) so DuckDB replays it; the anchor phrase is the doc's first
+    `n_anchor_toks` tokens (the deterministic stand-in for the <a> inner
+    text both engines can derive).
+
+    Scale shape: one explode-free pass (anchor = substring, no token
+    blow-up) → groupBy (dst, anchor) count with map-side combine → per-
+    host top-k via row_number over |hosts| window partitions.  Shuffled
+    rows are (host, phrase, count) — the corpus text never moves; the
+    window key is the host, so no single-partition global sort exists at
+    any scale."""
+    edges = docs.select(
+        (
+            F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 2), 16, 10)
+            .cast("long")
+            % n_hosts
+        ).alias("host"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.col("text"), " "), 1, n_anchor_toks)
+        ).alias("anchor"),
+    )
+    counts = edges.groupBy("host", "anchor").agg(
+        F.count(F.lit(1)).alias("n_links")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_links").desc(), F.col("anchor").asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            F.col("host").cast("int").alias("host"),
+            F.col("rank").cast("int").alias("rank"),
+            "anchor",
+            F.col("n_links").cast("long").alias("n_links"),
+        )
+    )
+
+
+def anchor_text_sql(
+    docs_sql: str, n_hosts: int = 32, topk: int = 3, n_anchor_toks: int = 2
+) -> str:
+    return f"""
+    WITH e AS (
+      SELECT ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS host,
+             array_to_string(string_split(text, ' ')[1:{n_anchor_toks}], ' ')
+               AS anchor
+      FROM ({docs_sql})
+    ), c AS (
+      SELECT host, anchor, count(*)::BIGINT AS n_links
+      FROM e GROUP BY host, anchor
+    ), r AS (
+      SELECT host, anchor, n_links,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY n_links DESC, anchor ASC) AS rank
+      FROM c
+    )
+    SELECT host::INT AS host, rank::INT AS rank, anchor, n_links
+    FROM r WHERE rank <= {topk}
+    """
+
+
+# -------------------------------------------------------------- link spam
+
+
+def link_spam_signals(edges: DataFrame) -> DataFrame:
+    """Per-host link-spam signals over the (s, d) multigraph: weighted
+    out/in degree, self-link weight, and reciprocal-link weight (links
+    whose reverse edge also exists — link farms trade edges both ways,
+    organic webgraphs are strongly asymmetric; Fetterly et al. 2004).
+    `recip_ppm` = reciprocal weight as parts-per-million of outdegree in
+    int64 fixed point, hash-safe and partitioning-independent.
+
+    Scale shape: the multigraph collapses to (s, d, cnt) once; the
+    reciprocal join is grouped-edges ⨝ grouped-edges on the swapped key
+    — an equi-join over |distinct edges| rows, never the corpus.  All
+    aggregations partial-combine; output is |hosts| rows."""
+    g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    out_deg = g.groupBy("s").agg(F.sum("cnt").alias("out_w"))
+    in_deg = g.groupBy("d").agg(F.sum("cnt").alias("in_w"))
+    self_w = (
+        g.where(F.col("s") == F.col("d"))
+        .select(F.col("s").alias("host"), F.col("cnt").alias("self_w"))
+    )
+    rev = g.select(
+        F.col("d").alias("rs"), F.col("s").alias("rd"), F.col("cnt").alias("rcnt")
+    )
+    recip = (
+        g.where(F.col("s") != F.col("d"))
+        .join(rev, (g["s"] == rev["rs"]) & (g["d"] == rev["rd"]))
+        .select("s", F.least("cnt", "rcnt").alias("rw"))
+        .groupBy("s")
+        .agg(F.sum("rw").alias("recip_w"))
+    )
+    hosts = (
+        edges.select(F.col("s").alias("host"))
+        .union(edges.select(F.col("d").alias("host")))
+        .distinct()
+    )
+    return (
+        hosts.join(out_deg, hosts["host"] == out_deg["s"], "left")
+        .drop("s")
+        .join(in_deg, hosts["host"] == in_deg["d"], "left")
+        .drop("d")
+        .join(self_w, "host", "left")
+        .join(recip.withColumnRenamed("s", "host"), "host", "left")
+        .select(
+            F.col("host").cast("int").alias("host"),
+            F.coalesce("out_w", F.lit(0)).cast("long").alias("out_w"),
+            F.coalesce("in_w", F.lit(0)).cast("long").alias("in_w"),
+            F.coalesce("self_w", F.lit(0)).cast("long").alias("self_w"),
+            F.coalesce("recip_w", F.lit(0)).cast("long").alias("recip_w"),
+            F.expr(
+                "div(coalesce(recip_w, 0) * 1000000,"
+                " greatest(coalesce(out_w, 0), 1))"
+            ).alias("recip_ppm"),
+        )
+    )
+
+
+def link_spam_sql(docs_sql: str, n_hosts: int = 32) -> str:
+    """DuckDB twin of doc_host_edges → link_spam_signals."""
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT doc_id % {n_hosts} AS s,
+             ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS d
+      FROM ({docs_sql})
+    ), g AS MATERIALIZED (
+      SELECT s, d, count(*)::BIGINT AS cnt FROM e GROUP BY s, d
+    ),
+    od AS (SELECT s, sum(cnt)::BIGINT AS out_w FROM g GROUP BY s),
+    idg AS (SELECT d, sum(cnt)::BIGINT AS in_w FROM g GROUP BY d),
+    sw AS (SELECT s AS host, cnt AS self_w FROM g WHERE s = d),
+    rc AS (
+      SELECT a.s, sum(least(a.cnt, b.cnt))::BIGINT AS recip_w
+      FROM g a JOIN g b ON a.s = b.d AND a.d = b.s
+      WHERE a.s <> a.d GROUP BY a.s
+    ),
+    hosts AS (SELECT DISTINCT s AS host FROM e
+              UNION SELECT DISTINCT d FROM e)
+    SELECT h.host::INT AS host,
+           coalesce(od.out_w, 0)::BIGINT AS out_w,
+           coalesce(idg.in_w, 0)::BIGINT AS in_w,
+           coalesce(sw.self_w, 0)::BIGINT AS self_w,
+           coalesce(rc.recip_w, 0)::BIGINT AS recip_w,
+           (coalesce(rc.recip_w, 0) * 1000000
+            // greatest(coalesce(od.out_w, 0), 1))::BIGINT AS recip_ppm
+    FROM hosts h
+    LEFT JOIN od ON od.s = h.host
+    LEFT JOIN idg ON idg.d = h.host
+    LEFT JOIN sw ON sw.host = h.host
+    LEFT JOIN rc ON rc.s = h.host
+    """

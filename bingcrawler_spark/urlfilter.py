@@ -1,0 +1,126 @@
+"""URL feature extraction for crawl-time frontier filtering.
+
+BingCrawler filters candidate links with a handful of hard-coded string
+checks before frontier insert (`BingCrawlerTask.java` link loop: scheme
+prefix, host allowlist, fragment strip — SURVEY §2 F2/P1).  A web-scale
+frontier classifies every discovered URL *before* it costs a fetch slot:
+asset extensions (images/css/js) are skipped, tracking-parameter
+duplicates (utm_*) are flagged for canonical-collapse, and path depth /
+query arity feed the spider-trap budgeter (frontier.py `trap_budget`).
+
+Everything here is per-row JVM column expressions (regexp + arithmetic,
+no UDF, no shuffle): the classifier runs inside the candidate-extraction
+stage's whole-stage codegen at any scale.  The same regexes are emitted
+for the DuckDB oracle (`url_features_sql`), so the classification is
+cross-engine hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# extension → class; everything else with an extension is 'other',
+# extensionless paths are 'none' (crawlable directory/handler URLs)
+PAGE_EXTS = ("html", "htm", "php", "asp", "jsp")
+IMAGE_EXTS = ("jpg", "jpeg", "png", "gif", "webp", "ico")
+ASSET_EXTS = ("css", "js", "woff", "woff2", "svg", "map")
+
+_SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+_QUERY_RE = r"\?([^#]*)"
+_EXT_RE = r"\.([a-zA-Z0-9]+)$"
+
+
+def _ext_class(ext: Column) -> Column:
+    low = F.lower(ext)
+    return (
+        F.when(ext == "", F.lit("none"))
+        .when(low.isin(*PAGE_EXTS), F.lit("page"))
+        .when(low.isin(*IMAGE_EXTS), F.lit("image"))
+        .when(low.isin(*ASSET_EXTS), F.lit("asset"))
+        .otherwise(F.lit("other"))
+    )
+
+
+def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(url) → (url, scheme, host, path_depth, n_params, has_tracking,
+    ext_class, keep) — `keep` is the frontier-insert gate: crawlable
+    content (page/none extension class) with a known scheme.
+
+    path_depth counts '/' in the path component; n_params counts '&'+1
+    in a non-empty query; has_tracking flags utm_* parameters (the
+    URL-canonicalization dup class: the same page under N campaign tags
+    must collapse to one frontier entry, or 10^10-URL frontiers fill
+    with tracking mirrors)."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    path = F.regexp_extract(u, _PATH_RE, 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    ext = F.regexp_extract(path, _EXT_RE, 1)
+    path_depth = (
+        F.length(path) - F.length(F.regexp_replace(path, r"/", ""))
+    ).cast("int")
+    n_params = (
+        F.when(query == "", F.lit(0)).otherwise(
+            F.length(query) - F.length(F.regexp_replace(query, r"&", "")) + 1
+        )
+    ).cast("int")
+    has_tracking = (
+        query.rlike(r"(^|&)utm_[a-z]+=")
+    ).cast("int")
+    ext_class = _ext_class(ext)
+    keep = (
+        scheme.isin("http", "https") & ext_class.isin("page", "none")
+    ).cast("int")
+    return urls.select(
+        u.alias("url"),
+        scheme.alias("scheme"),
+        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        path_depth.alias("path_depth"),
+        n_params.alias("n_params"),
+        has_tracking.alias("has_tracking"),
+        ext_class.alias("ext_class"),
+        keep.alias("keep"),
+    )
+
+
+def url_features_sql(urls_sql: str, url_col: str = "url") -> str:
+    """DuckDB twin — identical regexes (RE2 syntax common to both)."""
+    page = ", ".join(f"'{e}'" for e in PAGE_EXTS)
+    image = ", ".join(f"'{e}'" for e in IMAGE_EXTS)
+    asset = ", ".join(f"'{e}'" for e in ASSET_EXTS)
+    return f"""
+    WITH parts AS (
+      SELECT {url_col} AS url,
+             regexp_extract({url_col}, '{_SCHEME_RE}', 1) AS scheme,
+             regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
+             regexp_extract({url_col}, '{_PATH_RE}', 1) AS path,
+             regexp_extract({url_col}, '\\?([^#]*)', 1) AS query
+      FROM ({urls_sql})
+    ), feats AS (
+      SELECT url, scheme, host,
+             (len(path) - len(replace(path, '/', '')))::INT AS path_depth,
+             CASE WHEN query = '' THEN 0
+                  ELSE len(query) - len(replace(query, '&', '')) + 1
+             END::INT AS n_params,
+             CASE WHEN regexp_matches(query, '(^|&)utm_[a-z]+=')
+                  THEN 1 ELSE 0 END::INT AS has_tracking,
+             CASE WHEN regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1) = ''
+                    THEN 'none'
+                  WHEN lower(regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1))
+                    IN ({page}) THEN 'page'
+                  WHEN lower(regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1))
+                    IN ({image}) THEN 'image'
+                  WHEN lower(regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1))
+                    IN ({asset}) THEN 'asset'
+                  ELSE 'other' END AS ext_class
+      FROM parts
+    )
+    SELECT url, scheme, host, path_depth, n_params, has_tracking, ext_class,
+           CASE WHEN scheme IN ('http', 'https')
+                 AND ext_class IN ('page', 'none')
+                THEN 1 ELSE 0 END::INT AS keep
+    FROM feats
+    """

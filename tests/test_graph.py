@@ -111,3 +111,66 @@ def test_matches_duckdb_twin(spark, sf_dir, n_iter):
         ).fetchall()
     )
     assert got == want
+
+
+# --------------------------------------------------------------- anchor text
+
+
+def test_anchor_text_topk_counts_and_tiebreak(spark):
+    # host is the first md5(text) byte mod 32; pin texts whose anchors
+    # collide and check count-desc, anchor-asc ordering within a host.
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["x y tail", "x y other", "b b pad", "a a pad"]
+        )],
+        "doc_id long, text string",
+    )
+    rows = G.anchor_text_topk(docs, topk=3).collect()
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(
+            (r["rank"], r["anchor"], r["n_links"])
+        )
+    # every host's ranks are 1..n in order, counts non-increasing,
+    # ties broken by anchor ascending
+    for anchors in by_host.values():
+        anchors.sort()
+        for i, (rank, anchor, n) in enumerate(anchors, start=1):
+            assert rank == i
+        for (r1, a1, n1), (r2, a2, n2) in zip(anchors, anchors[1:]):
+            assert n1 > n2 or (n1 == n2 and a1 < a2)
+    assert sum(n for v in by_host.values() for _, _, n in v) == 4
+
+
+def test_anchor_text_matches_duckdb(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 3} q{i % 2} body text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    got = sorted(tuple(r) for r in G.anchor_text_topk(docs).collect())
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            G.anchor_text_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ----------------------------------------------------------------- link spam
+
+
+def test_link_spam_reciprocal_and_self(spark):
+    # 0<->1 reciprocal pair (weights 2 and 1), 2->2 self loop, 3->0 one-way.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (1, 0), (2, 2), (3, 0)], "s long, d long"
+    )
+    got = {r["host"]: r.asDict() for r in G.link_spam_signals(edges).collect()}
+    assert got[0]["out_w"] == 2 and got[0]["in_w"] == 2
+    assert got[0]["recip_w"] == 1  # min(cnt(0->1)=2, cnt(1->0)=1)
+    assert got[0]["recip_ppm"] == 500_000
+    assert got[1]["recip_w"] == 1 and got[1]["recip_ppm"] == 1_000_000
+    assert got[2]["self_w"] == 1 and got[2]["recip_w"] == 0
+    assert got[3]["out_w"] == 1 and got[3]["in_w"] == 0 and got[3]["recip_ppm"] == 0

@@ -1,0 +1,46 @@
+"""URL feature extraction: hand-pinned classifications plus the DuckDB
+regex twin over a varied synthetic URL set."""
+
+import duckdb
+
+from bingcrawler_spark import urlfilter as UF
+
+CASES = [
+    # url, scheme, host, depth, n_params, tracking, ext_class, keep
+    ("http://a.example/x/y.html", "http", "a.example", 2, 0, 0, "page", 1),
+    ("https://a.example/img/logo.PNG?v=2", "https", "a.example", 2, 1, 0, "image", 0),
+    ("http://a.example/app.js", "http", "a.example", 1, 0, 0, "asset", 0),
+    ("http://a.example/dir/sub/", "http", "a.example", 3, 0, 0, "none", 1),
+    ("http://a.example", "http", "a.example", 0, 0, 0, "none", 1),
+    ("http://a.example/p?id=1&utm_source=x", "http", "a.example", 1, 2, 1, "none", 1),
+    ("http://a.example/p?xutm_y=1", "http", "a.example", 1, 1, 0, "none", 1),
+    ("ftp://a.example/f.html", "ftp", "a.example", 1, 0, 0, "page", 0),
+    ("http://a.example/data.tar.gz", "http", "a.example", 1, 0, 0, "other", 0),
+    ("http://h0.example/p.php?utm_campaign=c&x=1", "http", "h0.example", 1, 2, 1, "page", 1),
+]
+
+
+def test_url_features_pinned(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    got = {r["url"]: r for r in UF.url_features(df).collect()}
+    for url, scheme, host, depth, n_params, tracking, ext_class, keep in CASES:
+        r = got[url]
+        assert r["scheme"] == scheme, url
+        assert r["host"] == host, url
+        assert r["path_depth"] == depth, url
+        assert r["n_params"] == n_params, url
+        assert r["has_tracking"] == tracking, url
+        assert r["ext_class"] == ext_class, url
+        assert r["keep"] == keep, url
+
+
+def test_url_features_matches_duckdb(spark):
+    df = spark.createDataFrame([(u,) for u, *_ in CASES], "url string")
+    got = sorted(tuple(r) for r in UF.url_features(df).collect())
+    con = duckdb.connect()
+    con.register("urls", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(UF.url_features_sql("SELECT url FROM urls")).fetchall()
+    )
+    assert got == want

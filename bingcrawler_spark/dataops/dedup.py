@@ -657,3 +657,124 @@ def dup_clusters_sql(
            COUNT(*) OVER (PARTITION BY cluster_rep)::BIGINT AS cluster_size
     FROM lab
     """
+
+
+# ------------------------------------------------------------- containment
+
+
+def containment_pairs(
+    docs: DataFrame,
+    sketch_k: int = 8,
+    block_cap: int = 64,
+    min_containment_pct: int = 95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-sided containment near-dups: pairs where the SMALLER doc's
+    shingle set is ≥ threshold contained in the larger's —
+    |A∩B| / min(|A|,|B|), Broder 1997's containment coefficient.  This
+    is the dup class Jaccard misses: a page quoted or truncated inside
+    a longer page scores low Jaccard (the union is large) but ~100%
+    containment, so symmetric MinHash banding has near-zero recall on
+    exactly the pairs that matter.
+
+    Blocking is therefore a bottom-k sketch, which IS containment-
+    aware: docs are candidates when their k smallest shingle hashes
+    intersect.  If A ⊆ B, min-hash(A) is the minimum of an |A|-subset
+    of B's hashes, so its rank in B is ~|B|/|A| — inside B's bottom-k
+    with overwhelming probability for any containment ratio ≥ k⁻¹.
+    Ubiquitous blocks (a boilerplate shingle that hashes small
+    corpus-wide) are dropped at `block_cap` docs — they are non-
+    discriminative and would otherwise quadratically skew the
+    self-join; the cap makes the block join's worst key O(cap²).
+    Verification is exact shingle intersection on candidates only."""
+    base = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            X.shingles_col(F.col(text_col)).alias("sh"),
+        )
+        .withColumn(
+            "bk",
+            F.slice(
+                F.array_sort(F.transform("sh", X.h32_col)), 1, sketch_k
+            ),
+        )
+        .persist()
+    )
+    blocks = base.select("doc", F.explode("bk").alias("bh"))
+    keep_keys = (
+        blocks.groupBy("bh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where((F.col("n") >= 2) & (F.col("n") <= block_cap))
+        .select("bh")
+    )
+    kb = blocks.join(keep_keys, "bh")
+    a, b = kb.alias("a"), kb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = base.select("doc", "sh")
+    verified = (
+        cand.join(
+            sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")),
+            "doc_a",
+        )
+        .join(
+            sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("long").alias("n_common"),
+            F.least(F.size("sh_a"), F.size("sh_b")).cast("long").alias("n_small"),
+        )
+        .where(F.col("n_small") > 0)
+    )
+    return verified.where(
+        F.col("n_common") * 100 >= F.col("n_small") * min_containment_pct
+    )
+
+
+def containment_pairs_sql(
+    docs_sql: str,
+    sketch_k: int = 8,
+    block_cap: int = 64,
+    min_containment_pct: int = 95,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {id_col} AS doc,
+             {X.shingles_sql(text_col)} AS sh,
+             list_sort(list_transform({X.shingles_sql(text_col)},
+                                      x -> {X.h32_sql('x')}))[1:{sketch_k}]
+               AS bk
+      FROM ({docs_sql})
+    ), blocks AS MATERIALIZED (
+      SELECT doc, unnest(bk) AS bh FROM base
+    ), keep_keys AS (
+      SELECT bh FROM blocks GROUP BY bh
+      HAVING count(*) >= 2 AND count(*) <= {block_cap}
+    ), kb AS (
+      SELECT doc, bh FROM blocks JOIN keep_keys USING (bh)
+    ), cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM kb a JOIN kb b ON a.bh = b.bh AND a.doc < b.doc
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.sh, sb.sh))::BIGINT AS n_common,
+           least(len(sa.sh), len(sb.sh))::BIGINT AS n_small
+    FROM cand c
+    JOIN base sa ON sa.doc = c.doc_a
+    JOIN base sb ON sb.doc = c.doc_b
+    WHERE least(len(sa.sh), len(sb.sh)) > 0
+      AND len(list_intersect(sa.sh, sb.sh)) * 100
+          >= least(len(sa.sh), len(sb.sh)) * {min_containment_pct}
+    """

@@ -3301,6 +3301,59 @@ def s10_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return UF.url_features(_synth_urls(spark, sf_dir))
 
 
+# ---- positional phrase search + containment dedup
+
+_PHRASE = ["value", "table"]
+
+
+@register("ix_phrase_search", IX.phrase_match_sql(_DOCS_SQL, _PHRASE))
+def ix_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ("value table") over positional postings:
+    posting lists pruned to the phrase terms, then chained
+    (doc_id, start_pos) equi-joins — the index-side retrieval the
+    reference delegates to Bing itself (SURVEY §2 R16 keyword gating is
+    its non-positional cousin).  Oracle is an independent DuckDB
+    array-scan formulation."""
+    return IX.phrase_match(_t(spark, sf_dir, "documents"), _PHRASE)
+
+
+# Containment corpus: every doc, plus (for doc_id % 5 == 0) a derived
+# "quote" twin holding the first ceil(3n/5) tokens — the prefix-dup
+# class (same page served truncated / quoted inside a wrapper).  Twin
+# ids live at doc_id + 10^6 so pairs are (original, twin)-orderable.
+_CONT_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(
+           string_split(text, ' ')[1:((3 * len(string_split(text, ' ')) + 4) // 5)],
+           ' ') AS text
+  FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    pref = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(toks, 1, F.expr("div(3 * size(split(text, ' ')) + 4, 5)")),
+        ).alias("text"),
+    )
+    return d.unionByName(pref)
+
+
+@register("dd_containment", DD.containment_pairs_sql(_CONT_DOCS_SQL))
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided shingle containment (Broder 1997) ≥95% over MinHash
+    band candidates, on a corpus where every 5th doc has a 60%-prefix
+    twin — the quote/truncation dup class exact Jaccard dedup
+    (dd_exact / dd_minhash_lsh) misses."""
+    return DD.containment_pairs(_containment_docs(spark, sf_dir))
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -3312,7 +3365,11 @@ def s10_url_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "ix_phrase_search",
+    "dd_containment",
     "gr_anchor_text",
+    "ix_phrase_search",
+    "dd_containment",
     "gr_link_spam",
     "s10_url_features",
     "sel_dsir_topk",

@@ -174,3 +174,74 @@ def bm25_sql(
     ORDER BY score_e4 DESC, doc_id ASC
     LIMIT {limit}
     """
+
+
+# ---------------------------------------------------------------------
+# Positional index / phrase queries
+# ---------------------------------------------------------------------
+def positional_postings(docs: DataFrame) -> DataFrame:
+    """documents(doc_id, text) → (term, doc_id, pos) positional postings
+    (pos is 0-based token offset).  The explode's shuffle-free until a
+    consumer keys it; writing this bucketed by term is the on-disk
+    positional index a phrase engine serves from."""
+    return docs.select(
+        "doc_id", F.posexplode(_toks_col()).alias("pos", "term")
+    )
+
+
+def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
+    """Exact phrase query over the positional index: docs containing the
+    consecutive token run `phrase`, with occurrence count and first
+    offset.  Plan shape is the classic positional-index intersection:
+    posting lists are PRUNED TO THE PHRASE TERMS before any join
+    (the analogue of reading only those terms' lists from the index),
+    then chained equi-joins on (doc_id, start_pos) — term i must sit at
+    start+i.  Every join key includes doc_id, so data stays co-
+    partitioned after the first shuffle; no corpus text moves.
+
+    The DuckDB oracle is an independent formulation (per-row array scan)
+    so the hash cross-checks semantics, not a shared plan."""
+    assert len(phrase) >= 2
+    post = (
+        positional_postings(docs)
+        .where(F.col("term").isin(*sorted(set(phrase))))
+        .persist()
+    )
+    cur = post.where(F.col("term") == phrase[0]).select("doc_id", "pos")
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = post.where(F.col("term") == t).select(
+            F.col("doc_id").alias("d2"), (F.col("pos") - i).alias("p2")
+        )
+        cur = cur.join(
+            nxt, (cur["doc_id"] == nxt["d2"]) & (cur["pos"] == nxt["p2"])
+        ).select("doc_id", "pos")
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
+
+
+def phrase_match_sql(from_docs: str, phrase: list[str]) -> str:
+    """Array-scan DuckDB twin: for each doc, positions i (1-based in SQL,
+    reported 0-based to match posexplode) where toks[i..i+m-1] == phrase."""
+    m = len(phrase)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, {_TOKENIZE} AS toks
+      FROM ({from_docs})
+    ),
+    hits AS (
+      SELECT doc_id,
+             list_filter(generate_series(1, len(toks) - {m - 1}),
+                         i -> {conds}) AS starts
+      FROM d
+      WHERE len(toks) >= {m}
+    )
+    SELECT doc_id, len(starts)::BIGINT AS n_matches,
+           (starts[1] - 1)::BIGINT AS first_pos
+    FROM hits
+    WHERE len(starts) > 0
+    """

@@ -593,3 +593,53 @@ def test_stratified_topk_exact_counts_and_prefix(docs):
     ids7 = {r.doc_id for r in k7.collect()}
     assert ids3 <= ids7
     assert "WindowGroupLimit" in k7._jdf.queryExecution().executedPlan().toString()
+
+
+# ------------------------------------------------------------- containment
+
+
+def test_containment_catches_prefix_twin_jaccard_misses(spark):
+    import random
+
+    rng = random.Random(7)
+    words = [f"w{i}" for i in range(60)]
+    full = " ".join(rng.choice(words) for _ in range(200))
+    prefix = " ".join(full.split(" ")[:90])  # 45% of tokens: Jaccard < 0.5
+    other = " ".join(rng.choice(words) for _ in range(200))
+    corpus = spark.createDataFrame(
+        [(1, full), (2, prefix), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["n_small"])
+        for r in DD.containment_pairs(corpus, min_containment_pct=95).collect()
+    }
+    assert (1, 2) in cont
+    n_common, n_small = cont[(1, 2)]
+    assert n_common * 100 >= n_small * 95
+    # the symmetric-Jaccard path must NOT pair them at 50%
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in DD.minhash_lsh_pairs(corpus, min_jaccard_pct=50).collect()
+    }
+    assert (1, 2) not in jac
+
+
+def test_containment_duckdb_twin(spark):
+    import duckdb
+
+    docs = [
+        (1, " ".join(f"t{i}" for i in range(40))),
+        (2, " ".join(f"t{i}" for i in range(25))),   # strict prefix
+        (3, " ".join(f"u{i}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in DD.containment_pairs(df).collect())
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            DD.containment_pairs_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    assert got == want and len(got) >= 1

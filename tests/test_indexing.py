@@ -82,3 +82,47 @@ def test_bm25_oracle_sql_matches_duckdb(spark):
     ).fetchall()
     ref = sorted(_bm25_py(DOCS, TERMS).items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(int(a), int(b)) for a, b in got] == ref
+
+
+# ------------------------------------------------------------ phrase search
+
+
+def test_phrase_match_positions_and_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "big data table big data table x"),   # 2 matches at 0, 3
+            (2, "big table data big"),                # words present, no run
+            (3, "say big data now"),                  # 1 match at 1
+            (4, "nothing here"),
+            (5, "big data"),                          # exact-length doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_matches"], r["first_pos"])
+        for r in IX.phrase_match(docs, ["big", "data"]).collect()
+    }
+    assert got == {1: (2, 0), 3: (1, 1), 5: (1, 0)}
+
+
+def test_phrase_match_three_terms_and_duckdb_twin(spark):
+    import duckdb
+
+    docs = [
+        (1, "a b c a b c a b"),
+        (2, "a b x c a b c"),
+        (3, "c b a"),
+        (4, "a"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(tuple(r) for r in IX.phrase_match(df, ["a", "b", "c"]).collect())
+    assert got == [(1, 2, 0), (2, 1, 4)]
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            IX.phrase_match_sql("SELECT doc_id, text FROM docs", ["a", "b", "c"])
+        ).fetchall()
+    )
+    assert got == want

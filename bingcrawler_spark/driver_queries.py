@@ -3354,6 +3354,49 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.containment_pairs(_containment_docs(spark, sf_dir))
 
 
+# ---- Z-order layout stats + histogram quantile sketch
+
+_ZXY_SQL = (
+    "SELECT o_custkey % 32 AS x, o_orderkey % 32 AS y FROM orders"
+)
+
+
+@register("lo_zorder_stats", LO.zorder_file_stats_sql(_ZXY_SQL))
+def lo_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) file layout: interleave two cluster keys, bin
+    rows into files by z-range, emit per-file min/max envelopes plus
+    the box-query scan_needed flag — the data-skipping layout
+    (Delta/Iceberg OPTIMIZE ZORDER) a 100 TB store prunes with.  The
+    interleave expression string is generated once and evaluated
+    literally by both engines."""
+    o = _t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 32).alias("x"),
+        (F.col("o_orderkey") % 32).alias("y"),
+    )
+    return LO.zorder_file_stats(o, "x", "y")
+
+
+_PRICE_CENTS_SQL = (
+    "SELECT round(l_extendedprice * 100)::BIGINT AS v FROM lineitem"
+)
+_HQ_LO, _HQ_HI = 0, 11_000_000
+
+
+@register(
+    "sk_hist_quantiles",
+    SK.hist_quantiles_sql(_PRICE_CENTS_SQL, _HQ_LO, _HQ_HI),
+)
+def sk_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of lineitem price cents from a 64-bin mergeable
+    histogram sketch — the shuffle-light alternative to percentile's
+    global sort; per-partition histograms merge by addition, so the
+    same sketch serves executor-, day-, and cluster-level rollups."""
+    v = _t(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    return SK.hist_quantiles(v, _HQ_LO, _HQ_HI)
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -3367,6 +3410,8 @@ _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
     "ix_phrase_search",
     "dd_containment",
+    "lo_zorder_stats",
+    "sk_hist_quantiles",
     "gr_anchor_text",
     "ix_phrase_search",
     "dd_containment",

@@ -94,3 +94,98 @@ def salted_join(
         "_salt", F.explode(F.array([F.lit(i).cast("bigint") for i in range(n_salt)]))
     )
     return b.join(s, [key, "_salt"]).drop("_salt")
+
+
+# ---------------------------------------------------------------- Z-order
+
+
+def z_value_terms(x_expr: str, y_expr: str, bits: int) -> str:
+    """The bit-interleave as a SQL-ish expression string valid in BOTH
+    engines (only >>, <<, &, |, parentheses): z = ⋁ᵢ ((x>>i & 1) << 2i)
+    | ((y>>i & 1) << (2i+1)).  Generated from one Python loop so Spark
+    and DuckDB evaluate literally the same arithmetic."""
+    # every term fully parenthesized: DuckDB gives <<, & and | ONE
+    # precedence level (left-assoc), so `a << 0 | b << 1` would parse
+    # as `((a << 0) | b) << 1`
+    terms = []
+    for i in range(bits):
+        terms.append(f"(((({x_expr}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y_expr}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_file_stats(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 5,
+    cell_shift: int = 4,
+    box: tuple[int, int, int, int] = (4, 11, 9, 20),
+) -> DataFrame:
+    """Z-order (Morton) clustering demonstration — the layout that makes
+    multi-dimensional data skipping work (Delta/Iceberg OPTIMIZE ZORDER
+    BY): interleave the bits of two cluster keys, assign rows to files
+    by z-range (`file_id = z >> cell_shift`), and emit per-file min/max
+    column stats plus `scan_needed` — whether the file's (x, y)
+    envelope intersects the query box (x_lo, x_hi, y_lo, y_hi).
+
+    Because z-adjacent rows are xy-adjacent, each file's min/max
+    envelope is TIGHT in both dimensions, so a box query prunes most
+    files from footer stats alone; linear (row-order) layout gives every
+    file a full-range envelope in the non-sort dimension and prunes
+    nothing.  tests assert the pruned-file fraction, not just values.
+
+    Scale shape: one narrow projection (the interleave is pure integer
+    codegen), one groupBy(file_id) over ≤ 2^(2·bits-cell_shift) groups
+    with map-side combine.  The real write path would
+    repartitionByRange(z) before writing — same stats, same pruning."""
+    x_lo, x_hi, y_lo, y_hi = box
+    z = F.expr(f"({z_value_terms(x_col, y_col, bits)}) >> {cell_shift}")
+    per_file = (
+        df.select(
+            F.col(x_col).alias("x"),
+            F.col(y_col).alias("y"),
+            z.cast("long").alias("file_id"),
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("x").cast("long").alias("x_min"),
+            F.max("x").cast("long").alias("x_max"),
+            F.min("y").cast("long").alias("y_min"),
+            F.max("y").cast("long").alias("y_max"),
+        )
+    )
+    scan = (
+        (F.col("x_max") >= x_lo)
+        & (F.col("x_min") <= x_hi)
+        & (F.col("y_max") >= y_lo)
+        & (F.col("y_min") <= y_hi)
+    ).cast("int")
+    return per_file.select(
+        "file_id", "n_rows", "x_min", "x_max", "y_min", "y_max",
+        scan.alias("scan_needed"),
+    )
+
+
+def zorder_file_stats_sql(
+    xy_sql: str,
+    bits: int = 5,
+    cell_shift: int = 4,
+    box: tuple[int, int, int, int] = (4, 11, 9, 20),
+) -> str:
+    """DuckDB twin over a `(x, y)` relation."""
+    x_lo, x_hi, y_lo, y_hi = box
+    zt = z_value_terms("x", "y", bits)
+    return f"""
+    WITH pts AS (SELECT x, y, ({zt}) >> {cell_shift} AS file_id
+                 FROM ({xy_sql}))
+    SELECT file_id::BIGINT AS file_id,
+           count(*)::BIGINT AS n_rows,
+           min(x)::BIGINT AS x_min, max(x)::BIGINT AS x_max,
+           min(y)::BIGINT AS y_min, max(y)::BIGINT AS y_max,
+           CASE WHEN max(x) >= {x_lo} AND min(x) <= {x_hi}
+                 AND max(y) >= {y_lo} AND min(y) <= {y_hi}
+                THEN 1 ELSE 0 END::INT AS scan_needed
+    FROM pts GROUP BY file_id
+    """

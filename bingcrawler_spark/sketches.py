@@ -278,3 +278,104 @@ def cms_point_sql(
     SELECT e.term, e.est_cnt, coalesce(t.true_cnt, 0)::BIGINT AS true_cnt
     FROM est e LEFT JOIN tru t USING (term)
     """
+
+
+# ------------------------------------------------------- histogram quantiles
+
+
+def hist_quantiles(
+    vals: DataFrame,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable fixed-bin histogram quantiles — the sketch a 100 TB
+    percentile dashboard runs on.  Input is a one-column relation
+    `v: long` (cents / any int64 measure).  Unlike percentile_disc (a
+    global sort or single-partition shuffle at scale), the histogram is
+    one groupBy over ≤ n_bins keys with map-side combine, and
+    per-partition histograms MERGE by addition, so executors, days, or
+    clusters combine without re-reading data.  Estimates are bin UPPER
+    bounds (conservative: true quantile ≤ estimate < quantile + bin
+    width), all int64 — cross-engine exact.
+
+    bin = clamp((v - lo) · n_bins div (hi - lo), 0, n_bins-1); quantile
+    p = upper bound of the first bin where cum·100 ≥ p·total.  The
+    cumulative window runs over the ≤ n_bins-row SKETCH, not the data,
+    so its single-partition sort is O(n_bins) anywhere."""
+    from pyspark.sql.window import Window
+
+    binc = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(n_bins - 1),
+            F.expr(f"div((v - {lo}) * {n_bins}, {hi - lo})"),
+        ),
+    )
+    hist = (
+        vals.select(binc.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    total = hist.agg(F.sum("n").cast("long").alias("total"))
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        hist.select("bin", F.sum("n").over(w).cast("long").alias("cum"))
+        .crossJoin(F.broadcast(total))
+        .persist()
+    )
+    width = (hi - lo) // n_bins
+    out = None
+    for p in ps:
+        q = (
+            cum.where(F.col("cum") * 100 >= F.col("total") * p)
+            .orderBy("bin")
+            .limit(1)
+            .select(
+                F.lit(p).cast("int").alias("p"),
+                F.col("bin").cast("long").alias("bin"),
+                (F.lit(lo) + (F.col("bin") + 1) * width)
+                .cast("long")
+                .alias("est_cents"),
+                F.col("cum").cast("long").alias("cum_n"),
+                F.col("total").cast("long").alias("total_n"),
+            )
+        )
+        out = q if out is None else out.unionByName(q)
+    return out
+
+
+def hist_quantiles_sql(
+    cents_sql: str,
+    lo: int,
+    hi: int,
+    n_bins: int = 64,
+    ps: tuple[int, ...] = (50, 90, 99),
+) -> str:
+    """DuckDB twin over a relation exposing one BIGINT column `v`."""
+    width = (hi - lo) // n_bins
+    p_rows = ", ".join(f"({p})" for p in ps)
+    return f"""
+    WITH __hq_vals AS (SELECT v FROM ({cents_sql})),
+    hist AS (
+      SELECT greatest(0, least({n_bins - 1},
+               ((v - {lo}) * {n_bins}) // ({hi - lo}))) AS bin,
+             count(*)::BIGINT AS n
+      FROM __hq_vals GROUP BY 1
+    ),
+    cum AS (
+      SELECT bin, n,
+             sum(n) OVER (ORDER BY bin)::BIGINT AS cum,
+             sum(n) OVER ()::BIGINT AS total
+      FROM hist
+    )
+    SELECT p::INT AS p, bin::BIGINT AS bin,
+           ({lo} + (bin + 1) * {width})::BIGINT AS est_cents,
+           cum::BIGINT AS cum_n, total::BIGINT AS total_n
+    FROM (SELECT p, bin, cum, total,
+                 row_number() OVER (PARTITION BY p ORDER BY bin) AS rn
+          FROM (VALUES {p_rows}) ps(p)
+          JOIN cum ON cum.cum * 100 >= cum.total * ps.p)
+    WHERE rn = 1
+    """

@@ -82,3 +82,48 @@ def test_salted_join_spreads_hot_key(spark):
     assert len(per_salt) == 8  # the single hot key now occupies 8 groups
     assert max(r["count"] for r in per_salt) < 800
     assert j.count() == 800
+
+
+# ------------------------------------------------------------------ Z-order
+
+
+def test_z_value_interleave_known_points(spark):
+    # z(x=0b11, y=0b01) = x bits at even positions, y at odd:
+    # x0=1->bit0, y0=1->bit1, x1=1->bit2, y1=0 -> z = 0b0111 = 7
+    import duckdb
+
+    con = duckdb.connect()
+    expr = L.z_value_terms("3", "1", 5)
+    assert con.sql(f"SELECT {expr}").fetchone()[0] == 7
+    assert con.sql(f"SELECT {L.z_value_terms('0', '0', 5)}").fetchone()[0] == 0
+    # full 5-bit coords: z(31, 31) = 2^10 - 1
+    assert con.sql(f"SELECT {L.z_value_terms('31', '31', 5)}").fetchone()[0] == 1023
+    # Spark evaluates the same string to the same values
+    df = spark.range(1)
+    got = df.select(
+        *[
+            __import__("pyspark.sql.functions", fromlist=["expr"]).expr(
+                L.z_value_terms(str(x), str(y), 5)
+            ).alias(f"z{i}")
+            for i, (x, y) in enumerate([(3, 1), (0, 0), (31, 31)])
+        ]
+    ).collect()[0]
+    assert (got["z0"], got["z1"], got["z2"]) == (7, 0, 1023)
+
+
+def test_zorder_envelopes_prune_vs_linear(spark):
+    from pyspark.sql import functions as F
+
+    # full 32x32 grid, one row per cell
+    pts = spark.range(1024).select(
+        (F.col("id") % 32).alias("x"), (F.col("id") / 32).cast("long").alias("y")
+    )
+    stats = L.zorder_file_stats(pts, "x", "y", bits=5, cell_shift=4).collect()
+    assert sum(r["n_rows"] for r in stats) == 1024
+    assert len(stats) == 64
+    # each file holds 16 z-consecutive cells -> a 4x4 tile: tight envelopes
+    for r in stats:
+        assert r["x_max"] - r["x_min"] == 3 and r["y_max"] - r["y_min"] == 3
+    # the default 8x12 box intersects at most 3x4 tiles = 12/64 files;
+    # linear (row-order) layout would need ceil(12/32*64)=24+ files
+    assert sum(r["scan_needed"] for r in stats) <= 12

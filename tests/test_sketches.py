@@ -125,3 +125,47 @@ def test_cms_point_sql_matches_spark(spark):
         ).fetchall()
     )
     assert got == ref
+
+
+# ------------------------------------------------------- histogram quantiles
+
+
+def test_hist_quantiles_uniform(spark):
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark import sketches as SK
+
+    # v = 0..999 uniform, lo=0 hi=1000, 10 bins of width 100
+    vals = spark.range(1000).select(F.col("id").cast("long").alias("v"))
+    got = {
+        r["p"]: (r["bin"], r["est_cents"], r["cum_n"], r["total_n"])
+        for r in SK.hist_quantiles(vals, 0, 1000, n_bins=10, ps=(50, 90, 99)).collect()
+    }
+    # p50: first bin with cum*100 >= 50*1000 -> bin 4 (cum 500)
+    assert got[50] == (4, 500, 500, 1000)
+    assert got[90] == (8, 900, 900, 1000)
+    assert got[99] == (9, 1000, 1000, 1000)
+
+
+def test_hist_quantiles_clamps_and_matches_duckdb(spark):
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark import sketches as SK
+
+    # values outside [lo, hi) clamp into edge bins on both engines
+    data = [-50, 0, 10, 120, 999, 1000, 2500]
+    vals = spark.createDataFrame([(v,) for v in data], "v long")
+    got = sorted(
+        tuple(r) for r in SK.hist_quantiles(vals, 0, 1000, n_bins=10).collect()
+    )
+    con = duckdb.connect()
+    con.register("vals", vals.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            SK.hist_quantiles_sql("SELECT v FROM vals", 0, 1000, n_bins=10)
+        ).fetchall()
+    )
+    assert got == want

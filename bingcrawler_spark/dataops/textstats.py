@@ -460,3 +460,56 @@ def boilerplate_strip_sql(
            len(blocks)::INT AS blocks_total
     FROM b
     """
+
+
+# ----------------------------------------------------------- NFC normalize
+
+
+def nfc_normalize(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode NFC normalization — the first pass of every webtext
+    cleaning pipeline (CCNet, C4, Gopher all NFC/NFKC before anything
+    else): combining sequences collapse to precomposed codepoints so
+    'café' hashes identically however the page encoded it, which makes
+    exact dedup (dd_exact) and fingerprints canonical across crawls.
+
+    Output: (doc_id, changed, nfc_md5) — `changed` flags docs the
+    normalization rewrote, `nfc_md5` is the canonical-text hash (the
+    text itself never needs to leave its partition).  Spark side is an
+    Arrow-batched pandas UDF over `unicodedata.normalize` (Python's
+    and DuckDB's NFC both implement UAX #15 — verified byte-identical
+    in tests); there is no JVM builtin for NFC in pyspark.sql.functions.
+    Per-row, shuffle-free, so it composes into any scan."""
+    from pyspark.sql.types import StringType
+
+    # NB: no pd.Series annotations — `from __future__ import annotations`
+    # turns them into strings pandas_udf can't resolve with a local import
+    @F.pandas_udf(StringType())
+    def _nfc(texts):
+        import unicodedata
+
+        return texts.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    n = docs.select(
+        F.col(id_col), F.col(text_col).alias("t"), _nfc(F.col(text_col)).alias("nt")
+    )
+    return n.select(
+        id_col,
+        (F.col("t") != F.col("nt")).cast("int").alias("changed"),
+        F.md5(F.col("nt").cast("binary")).alias("nfc_md5"),
+    )
+
+
+def nfc_normalize_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    return f"""
+    SELECT {id_col},
+           CASE WHEN nfc_normalize({text_col}) <> {text_col}
+                THEN 1 ELSE 0 END::INT AS changed,
+           md5(nfc_normalize({text_col})) AS nfc_md5
+    FROM ({docs_sql})
+    """

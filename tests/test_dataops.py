@@ -643,3 +643,38 @@ def test_containment_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want and len(got) >= 1
+
+
+# ------------------------------------------------------------ NFC normalize
+
+
+def test_nfc_normalize_flags_and_canonical_hash(spark):
+    import duckdb
+    import hashlib
+    import unicodedata
+
+    decomposed = "café au lait"      # e + combining acute
+    precomposed = unicodedata.normalize("NFC", decomposed)
+    assert decomposed != precomposed
+    docs = spark.createDataFrame(
+        [(1, decomposed), (2, precomposed), (3, "plain ascii")],
+        "doc_id long, text string",
+    )
+    from bingcrawler_spark.dataops import textstats as TS
+
+    got = {r["doc_id"]: (r["changed"], r["nfc_md5"])
+           for r in TS.nfc_normalize(docs).collect()}
+    canon = hashlib.md5(precomposed.encode()).hexdigest()
+    assert got[1] == (1, canon)
+    assert got[2] == (0, canon)          # same canonical hash either way
+    assert got[3][0] == 0
+    # DuckDB twin agrees byte for byte
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.sql(
+            TS.nfc_normalize_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    }
+    assert got == want

@@ -46,6 +46,7 @@ from bingcrawler_spark import indexing as IX
 from bingcrawler_spark import sketches as SK
 from bingcrawler_spark import layout as LO
 from bingcrawler_spark import urlfilter as UF
+from bingcrawler_spark import statestore as ST
 from bingcrawler_spark.functions.canon import canon_url_col, host_name_col, host_url_col
 from bingcrawler_spark.functions.simhash import simhash64_udf
 
@@ -3432,6 +3433,112 @@ def ts_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.nfc_normalize(_nfc_docs(spark, sf_dir))
 
 
+# ---- canonical collapse / snapshot diff / compression ratio
+
+# URL-variant corpus: groups of 4 consecutive custkeys share one logical
+# page, decorated per k%4 with (plain | #fragment | utm params | upper-
+# cased scheme+host) — all four canonicalize to the same URL.
+_VARIANT_URLS_SQL = """
+  SELECT CASE c_custkey % 4
+           WHEN 0 THEN base
+           WHEN 1 THEN base || '#sec2'
+           WHEN 2 THEN base || '?utm_source=news&utm_campaign=x'
+           ELSE 'HTTP://HOST' || (c_custkey // 4 % 25)::VARCHAR
+                || '.EXAMPLE/p/' || (c_custkey // 4)::VARCHAR
+         END AS url
+  FROM (SELECT c_custkey,
+               'http://host' || (c_custkey // 4 % 25)::VARCHAR
+               || '.example/p/' || (c_custkey // 4)::VARCHAR AS base
+        FROM customer)
+"""
+
+
+def _variant_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    gid = F.expr("div(c_custkey, 4)")
+    base = F.concat(
+        F.lit("http://host"), (gid % 25).cast("string"),
+        F.lit(".example/p/"), gid.cast("string"),
+    )
+    upper = F.concat(
+        F.lit("HTTP://HOST"), (gid % 25).cast("string"),
+        F.lit(".EXAMPLE/p/"), gid.cast("string"),
+    )
+    return _t(spark, sf_dir, "customer").select(
+        F.when(k % 4 == 0, base)
+        .when(k % 4 == 1, F.concat(base, F.lit("#sec2")))
+        .when(k % 4 == 2, F.concat(base, F.lit("?utm_source=news&utm_campaign=x")))
+        .otherwise(upper)
+        .alias("url")
+    )
+
+
+@register("p1b_canon_collapse", UF.canon_collapse_sql(_VARIANT_URLS_SQL))
+def p1b_canon_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tracking-aware canonicalization + collapse counts (fragment /
+    utm / case / default-port variants of one page fold to one frontier
+    entry) — the web-scale extension of P1's reference-parity
+    canonicalizer (Util.java getStandardUrl, SURVEY §2 P1)."""
+    return UF.canon_collapse(_variant_urls(spark, sf_dir))
+
+
+# Two crawl snapshots derived from documents: old drops doc_id%10==9,
+# new drops doc_id%10==0 and rewrites content for doc_id%7==3.
+_DIFF_OLD_SQL = """
+  SELECT 'http://h' || (doc_id % 40)::VARCHAR || '.example/d/'
+         || doc_id::VARCHAR AS url, md5(text) AS fp_md5
+  FROM documents WHERE doc_id % 10 <> 9
+"""
+_DIFF_NEW_SQL = """
+  SELECT 'http://h' || (doc_id % 40)::VARCHAR || '.example/d/'
+         || doc_id::VARCHAR AS url,
+         CASE WHEN doc_id % 7 = 3 THEN md5(text || ' v2')
+              ELSE md5(text) END AS fp_md5
+  FROM documents WHERE doc_id % 10 <> 0
+"""
+
+
+def _diff_snap(spark: SparkSession, sf_dir: str, new: bool) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://h"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".example/d/"), F.col("doc_id").cast("string"),
+    )
+    if new:
+        fp = F.when(
+            F.col("doc_id") % 7 == 3,
+            F.md5(F.concat(F.col("text"), F.lit(" v2")).cast("binary")),
+        ).otherwise(F.md5(F.col("text").cast("binary")))
+        return d.where(F.col("doc_id") % 10 != 0).select(
+            url.alias("url"), fp.alias("fp_md5")
+        )
+    return d.where(F.col("doc_id") % 10 != 9).select(
+        url.alias("url"), F.md5(F.col("text").cast("binary")).alias("fp_md5")
+    )
+
+
+@register(
+    "f15_snapshot_diff",
+    ST.snapshot_diff_sql(_DIFF_OLD_SQL, _DIFF_NEW_SQL),
+)
+def f15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level crawl-to-crawl delta (added/removed/changed/same by
+    content fingerprint, full-outer join on url) — the ledger
+    f13_recrawl_schedule's host change rates roll up from; only
+    (url, md5) pairs ride the shuffle."""
+    return ST.snapshot_diff(
+        _diff_snap(spark, sf_dir, new=False), _diff_snap(spark, sf_dir, new=True)
+    )
+
+
+@register("ts_compression")  # rows-only: DuckDB has no scalar zlib
+def ts_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression ratio (RefinedWeb/Gopher quality heuristic) in
+    1e-4 fixed point; pytest pins it byte-for-byte against direct
+    zlib.compress, which is exact — both sides call the same library."""
+    return TS.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -3446,6 +3553,9 @@ _CHECK_FIRST = [
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",
+    "p1b_canon_collapse",
+    "f15_snapshot_diff",
+    "ts_compression",
     "lo_zorder_stats",
     "sk_hist_quantiles",
     "gr_anchor_text",

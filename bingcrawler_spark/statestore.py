@@ -224,3 +224,57 @@ class SnapshotStore:
             return []
         with open(path) as f:
             return [json.loads(ln) for ln in f if ln.strip()]
+
+
+def snapshot_diff(
+    old: "DataFrame",
+    new: "DataFrame",
+    key: str = "url",
+    fp_col: str = "fp_md5",
+) -> "DataFrame":
+    """Crawl-to-crawl change detection: full-outer join two snapshot
+    tables on `key` and classify each key as added / removed / changed /
+    same by fingerprint — the delta a recrawl scheduler consumes
+    (frontier.recrawl_priorities derives host change RATES; this is the
+    row-level ledger those rates roll up from, and the shape of an
+    incremental WARC-to-WARC diff at Common-Crawl scale).
+
+    Scale shape: one shuffle keyed by `key` for the join; only
+    (key, fingerprint) pairs move, never page bytes.  With both
+    snapshots bucketed on `key` (layout.write_bucketed) the exchange
+    disappears entirely.  Output keeps the two fingerprints so the
+    classification is re-derivable."""
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(key).alias("k"), F.col(fp_col).alias("old_fp"))
+    n = new.select(F.col(key).alias("k"), F.col(fp_col).alias("new_fp"))
+    j = o.join(n, "k", "full_outer")
+    status = (
+        F.when(F.col("old_fp").isNull(), F.lit("added"))
+        .when(F.col("new_fp").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return j.select(
+        F.col("k").alias(key),
+        status.alias("status"),
+        F.coalesce("old_fp", F.lit("")).alias("old_fp"),
+        F.coalesce("new_fp", F.lit("")).alias("new_fp"),
+    )
+
+
+def snapshot_diff_sql(
+    old_sql: str, new_sql: str, key: str = "url", fp_col: str = "fp_md5"
+) -> str:
+    return f"""
+    WITH __sd_o AS (SELECT {key} AS k, {fp_col} AS old_fp FROM ({old_sql})),
+         __sd_n AS (SELECT {key} AS k, {fp_col} AS new_fp FROM ({new_sql}))
+    SELECT coalesce(__sd_o.k, __sd_n.k) AS {key},
+           CASE WHEN __sd_o.k IS NULL THEN 'added'
+                WHEN __sd_n.k IS NULL THEN 'removed'
+                WHEN __sd_o.old_fp <> __sd_n.new_fp THEN 'changed'
+                ELSE 'same' END AS status,
+           coalesce(__sd_o.old_fp, '') AS old_fp,
+           coalesce(__sd_n.new_fp, '') AS new_fp
+    FROM __sd_o FULL OUTER JOIN __sd_n ON __sd_o.k = __sd_n.k
+    """

@@ -124,3 +124,96 @@ def url_features_sql(urls_sql: str, url_col: str = "url") -> str:
                 THEN 1 ELSE 0 END::INT AS keep
     FROM feats
     """
+
+
+# ------------------------------------------------------- canonical collapse
+
+
+def canon_collapse(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Tracking-aware URL canonicalization + collapse report: strip
+    fragments and utm_* / fbclid / gclid parameters, lowercase scheme
+    and host, drop default ports and trailing '?', then group by the
+    canonical form — the frontier-side dedup that keeps N campaign-
+    tagged mirrors of one page from costing N fetches (complements P1's
+    reference-parity canon_url, which preserves queries verbatim).
+
+    Output: one row per canonical URL that collapsed ≥ 2 raw variants
+    (canon_url, n_variants, n_tracking_variants).  Pure regexp + one
+    groupBy on the canonical key; at 10^10 URLs the shuffle carries
+    (canon_url, two counts)."""
+    u = F.col(url_col)
+    # strip fragment
+    nofrag = F.regexp_replace(u, r"#.*$", "")
+    # lowercase scheme://host (group 1), keep the rest (group 2)
+    lowered = F.concat(
+        F.lower(F.regexp_extract(nofrag, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)),
+        F.regexp_extract(nofrag, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$", 1),
+    )
+    # default ports
+    noport = F.regexp_replace(
+        F.regexp_replace(lowered, r"^(http://[^/?#]+):80(/|\?|$)", r"$1$2"),
+        r"^(https://[^/?#]+):443(/|\?|$)",
+        r"$1$2",
+    )
+    had_tracking = noport.rlike(r"[?&](utm_[a-z]+|fbclid|gclid)=")
+    # split the query into params, drop the tracking ones, reassemble —
+    # regex-on-the-whole-string approaches mangle separator bookkeeping
+    base = F.regexp_extract(noport, r"^([^?]*)", 1)
+    query = F.regexp_extract(noport, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != F.lit("")) & ~p.rlike(r"^(utm_[a-z]+|fbclid|gclid)="),
+    )
+    canon = F.concat(
+        base,
+        F.when(
+            F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        urls.select(canon.alias("canon_url"), had_tracking.cast("long").alias("trk"))
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.sum("trk").cast("long").alias("n_tracking_variants"),
+        )
+        .where(F.col("n_variants") >= 2)
+    )
+
+
+def canon_collapse_sql(urls_sql: str, url_col: str = "url") -> str:
+    return f"""
+    WITH s1 AS (
+      SELECT regexp_replace({url_col}, '#.*$', '') AS u FROM ({urls_sql})
+    ), s2 AS (
+      SELECT lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)', 1))
+             || regexp_extract(u, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(.*)$', 1)
+               AS u
+      FROM s1
+    ), s3 AS (
+      SELECT regexp_replace(
+               regexp_replace(u, '^(http://[^/?#]+):80(/|\\?|$)', '\\1\\2'),
+               '^(https://[^/?#]+):443(/|\\?|$)', '\\1\\2') AS u
+      FROM s2
+    ), s4 AS (
+      SELECT u,
+             CASE WHEN regexp_matches(u, '[?&](utm_[a-z]+|fbclid|gclid)=')
+                  THEN 1 ELSE 0 END AS trk,
+             regexp_extract(u, '^([^?]*)', 1) AS base,
+             list_filter(
+               string_split(regexp_extract(u, '\\?(.*)$', 1), '&'),
+               p -> p <> ''
+                    AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid|gclid)=')
+             ) AS params
+      FROM s3
+    ), s5 AS (
+      SELECT trk,
+             base || CASE WHEN len(params) > 0
+                          THEN '?' || array_to_string(params, '&')
+                          ELSE '' END AS canon_url
+      FROM s4
+    )
+    SELECT canon_url, count(*)::BIGINT AS n_variants,
+           sum(trk)::BIGINT AS n_tracking_variants
+    FROM s5 GROUP BY canon_url HAVING count(*) >= 2
+    """

@@ -362,3 +362,43 @@ def test_trap_filter_caps_exploding_prefix(spark):
     assert [u for u in urls if "/cal/" in u] == [
         f"http://t.example/cal/{i:04d}" for i in range(5)
     ]
+
+
+# -------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_classifies_all_four_ways(spark):
+    from bingcrawler_spark import statestore as ST
+
+    old = spark.createDataFrame(
+        [("u1", "aa"), ("u2", "bb"), ("u3", "cc")], "url string, fp_md5 string"
+    )
+    new = spark.createDataFrame(
+        [("u2", "bb"), ("u3", "cc2"), ("u4", "dd")], "url string, fp_md5 string"
+    )
+    got = {r["url"]: r["status"] for r in ST.snapshot_diff(old, new).collect()}
+    assert got == {"u1": "removed", "u2": "same", "u3": "changed", "u4": "added"}
+
+
+def test_snapshot_diff_matches_duckdb(spark):
+    import duckdb
+
+    from bingcrawler_spark import statestore as ST
+
+    old = spark.createDataFrame(
+        [(f"u{i}", f"f{i % 4}") for i in range(20)], "url string, fp_md5 string"
+    )
+    new = spark.createDataFrame(
+        [(f"u{i}", f"f{i % 3}") for i in range(5, 25)], "url string, fp_md5 string"
+    )
+    got = sorted(tuple(r) for r in ST.snapshot_diff(old, new).collect())
+    con = duckdb.connect()
+    con.register("o", old.toPandas())
+    con.register("n", new.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            ST.snapshot_diff_sql("SELECT * FROM o", "SELECT * FROM n")
+        ).fetchall()
+    )
+    assert got == want

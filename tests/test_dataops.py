@@ -678,3 +678,30 @@ def test_nfc_normalize_flags_and_canonical_hash(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# -------------------------------------------------------- compression ratio
+
+
+def test_compression_ratio_matches_zlib_and_orders_quality(spark):
+    import zlib
+
+    from bingcrawler_spark.dataops import textstats as TS
+
+    repetitive = "spam ham " * 200
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "discusses distributed systems at length ") * 10
+    import random
+    rng = random.Random(3)
+    junk = " ".join("".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+                    for _ in range(150))
+    docs = spark.createDataFrame(
+        [(1, repetitive), (2, prose), (3, junk)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in TS.compression_ratio(docs).collect()}
+    for i, t in [(1, repetitive), (2, prose), (3, junk)]:
+        assert got[i]["raw_len"] == len(t)
+        assert got[i]["zlib_len"] == len(zlib.compress(t.encode(), 6))
+        assert got[i]["ratio_e4"] == got[i]["zlib_len"] * 10000 // len(t)
+    # template spam compresses hardest, random junk least
+    assert got[1]["ratio_e4"] < got[2]["ratio_e4"] < got[3]["ratio_e4"]

@@ -44,3 +44,48 @@ def test_url_features_matches_duckdb(spark):
         for r in con.sql(UF.url_features_sql("SELECT url FROM urls")).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------- canonical collapse
+
+
+def test_canon_collapse_folds_variants(spark):
+    variants = [
+        "http://a.example/p",
+        "http://a.example/p#frag",
+        "http://a.example/p?utm_source=x",
+        "HTTP://A.EXAMPLE/p",
+        "http://a.example:80/p",
+        # different page: params survive, tracking stripped, order kept
+        "http://a.example/q?id=1&utm_campaign=c&x=2",
+        "http://a.example/q?id=1&x=2",
+        # singleton — must NOT appear (n_variants < 2)
+        "http://b.example/only",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    got = {r["canon_url"]: (r["n_variants"], r["n_tracking_variants"])
+           for r in UF.canon_collapse(df).collect()}
+    assert got == {
+        "http://a.example/p": (5, 1),
+        "http://a.example/q?id=1&x=2": (2, 1),
+    }
+
+
+def test_canon_collapse_matches_duckdb(spark):
+    import duckdb
+
+    urls = [
+        f"http://h{i % 3}.example/p/{i // 2}" + dec
+        for i, dec in enumerate(
+            ["", "#x", "?utm_source=a", "?a=1&utm_medium=b&b=2", "?fbclid=z", ""] * 6
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = sorted(tuple(r) for r in UF.canon_collapse(df).collect())
+    con = duckdb.connect()
+    con.register("urls", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(UF.canon_collapse_sql("SELECT url FROM urls")).fetchall()
+    )
+    assert got == want

@@ -79,6 +79,10 @@ HEADLINE = [
     "ts_boilerplate",
     "s8_robots_gate",
     "tok_bpe_train",
+    "dd_containment",
+    "ix_phrase_search",
+    "lo_zorder_stats",
+    "gr_anchor_text",
 ]
 
 

@@ -550,3 +550,191 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
             )
 
     return pruned.mapInPandas(run, pruned.schema)
+
+
+# ------------------------------------------------------- perceptual hashing
+
+
+def encode_ppm_raster(width: int, height: int, raster: bytes) -> bytes:
+    """Binary PPM (P6) from an explicit RGB raster."""
+    if len(raster) != width * height * 3:
+        raise ValueError("raster size mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + bytes(raster)
+
+
+def block_value(img_id: int, k: int) -> int:
+    """Brightness of block k for image img_id: first md5 byte of
+    '{img_id}-{k}' — full per-block entropy, so distinct images share a
+    dHash only by a 2^-56 accident (an affine-in-position formula would
+    give CONSTANT neighbor differences and collide en masse)."""
+    import hashlib
+
+    return hashlib.md5(f"{img_id}-{k}".encode()).digest()[0]
+
+
+def block_raster(img_id: int, width: int, height: int, grid: int = 8) -> bytes:
+    """Deterministic gray RGB raster that is piecewise-constant on a
+    grid×grid block layout with md5-derived block brightness.  Because
+    the pattern is exact on blocks, ANY resolution rendering of the
+    same img_id downsamples to the identical 8×8 grid — which makes
+    the perceptual hash of the whole decode path predictable in closed
+    form (the DuckDB oracle recomputes every hash from the same md5
+    arithmetic)."""
+    bw, bh = width // grid, height // grid
+    vals = [block_value(img_id, k) for k in range(grid * grid)]
+    out = bytearray()
+    for y in range(height):
+        r = y // bh
+        for x in range(width):
+            c = x // bw
+            v = vals[r * grid + c]
+            out += bytes((v, v, v))
+    return bytes(out)
+
+
+def _image_raster(payload: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, bytes_per_pixel, raster) for PPM-P6 or native PNG."""
+    import re
+
+    b = bytes(payload or b"")
+    if b.startswith(_PNG_SIG):
+        return _png_raster(b)
+    if b.startswith(b"P6"):
+        m = re.match(rb"P6\s+(\d+)\s+(\d+)\s+(\d+)\s", b)
+        if not m:
+            raise ValueError("corrupt PPM header")
+        w, h, _maxval = (int(x) for x in m.groups())
+        raster = b[m.end() : m.end() + w * h * 3]
+        if len(raster) != w * h * 3:
+            raise ValueError("truncated PPM raster")
+        return w, h, 3, raster
+    raise NotImplementedError("dhash needs a PPM or native-PNG payload")
+
+
+def dhash56(payload: bytes) -> int:
+    """Difference hash (dHash, the standard perceptual image fingerprint):
+    decode → nearest-neighbor 8×8 grayscale downsample (sample pixel
+    ((r·h) div 8, (c·w) div 8), first channel — rasters here are gray) →
+    56 bits, bit (r·7+c) set iff g[r][c] > g[r][c+1].  Scale/format
+    invariant for block-aligned images: a 32×32 and a 64×64 rendering of
+    the same scene hash identically."""
+    w, h, bpp, raster = _image_raster(payload)
+    g = [
+        [raster[(((r * h) // 8) * w + (c * w) // 8) * bpp] for c in range(8)]
+        for r in range(8)
+    ]
+    bits = 0
+    for r in range(8):
+        for c in range(7):
+            if g[r][c] > g[r][c + 1]:
+                bits |= 1 << (r * 7 + c)
+    return bits
+
+
+def dhash_media(media: DataFrame) -> DataFrame:
+    """(media_id, media) → (media_id, dhash) via Arrow-batched
+    mapInPandas — per-row, shuffle-free; only the 8-byte hash leaves
+    the partition, never image bytes."""
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dhash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": b["media_id"],
+                    "dhash": [dhash56(m) for m in b["media"]],
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(run, schema)
+
+
+def image_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 4, n_bands: int = 4
+) -> DataFrame:
+    """Perceptual near-dup pairs over (media_id, dhash): 56-bit dHash
+    banded into n_bands 14-bit slices (pigeonhole over the hamming
+    budget), candidates verified by bit_count(xor) — the image twin of
+    dd_simhash_neardup, and the image-dedup pass a multimodal training
+    pipeline runs after decode."""
+    width = 56 // n_bands
+    banded = hashes.select(
+        F.col("media_id").alias("doc"),
+        F.col("dhash").alias("fp"),
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftright("dhash", b * width) % F.lit(1 << width)).cast(
+                        "long"
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def dhash_formula_sql(pid_expr: str) -> str:
+    """Closed-form dHash of block_raster(pid): the arithmetic twin of
+    encode→decode→downsample→dhash56, enabling an exact SQL oracle for
+    the whole image path."""
+    def g(k: int) -> str:
+        return (
+            f"('0x' || substr(md5(({pid_expr})::VARCHAR || '-{k}'), 1, 2))"
+            f"::BIGINT"
+        )
+
+    terms = []
+    for r in range(8):
+        for c in range(7):
+            terms.append(
+                f"(CASE WHEN {g(r * 8 + c)} > {g(r * 8 + c + 1)}"
+                f" THEN {1 << (r * 7 + c)} ELSE 0 END)"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def image_neardup_sql(
+    ids_sql: str, max_hamming: int = 4, n_bands: int = 4
+) -> str:
+    """DuckDB twin over an (media_id, pid) relation: recompute each
+    image's dHash from the block formula, then the same band join."""
+    width = 56 // n_bands
+    return f"""
+    WITH fp AS MATERIALIZED (
+      SELECT media_id AS doc, {dhash_formula_sql('pid')}::BIGINT AS fp
+      FROM ({ids_sql})
+    ), banded AS (
+      SELECT doc, fp, bi.band_idx,
+             (fp >> (bi.band_idx * {width})) & {(1 << width) - 1} AS band_val
+      FROM fp, (SELECT unnest(generate_series(0, {n_bands - 1})) AS band_idx) bi
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.fp, b.fp))::INT AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+    """

@@ -3539,6 +3539,67 @@ def ts_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TS.compression_ratio(_t(spark, sf_dir, "documents"))
 
 
+# ---- perceptual image dedup (dHash over REAL encoded bytes)
+
+_IMG_IDS_SQL = """
+  SELECT doc_id AS media_id, doc_id AS pid FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS media_id, doc_id AS pid
+  FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+def _image_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every doc renders its block pattern as a REAL 64×64 image (PNG for
+    even pids, PPM for odd); every 4th doc also gets a 32×32 twin in the
+    OTHER format — so near-dup pairs certify scale AND format invariance
+    of the decode→hash path."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("doc_id").alias("pid"),
+        F.lit(64).alias("dim"),
+    ).unionByName(
+        d.where(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("media_id"),
+            F.col("doc_id").alias("pid"),
+            F.lit(32).alias("dim"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches):
+        for b in batches:
+            blobs = []
+            for mid, pid, dim in zip(b["media_id"], b["pid"], b["dim"]):
+                raster = MM.block_raster(int(pid), int(dim), int(dim))
+                use_png = (int(pid) % 2 == 0) ^ (int(mid) != int(pid))
+                blobs.append(
+                    MM.encode_png(int(dim), int(dim), raster=raster)
+                    if use_png
+                    else MM.encode_ppm_raster(int(dim), int(dim), raster)
+                )
+            yield pd.DataFrame({"media_id": b["media_id"], "media": blobs})
+
+    return ids.mapInPandas(run, schema)
+
+
+@register("mm_image_neardup", MM.image_neardup_sql(_IMG_IDS_SQL))
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup: dHash56 over real PNG/PPM bytes, banded
+    near-dup pairs — twins rendered at a different resolution AND in a
+    different format must hash identically.  The DuckDB oracle
+    recomputes every hash in closed form from the block-pattern
+    arithmetic, certifying the entire native encode→decode→downsample→
+    hash path without touching a byte."""
+    return MM.image_neardup_pairs(MM.dhash_media(_image_corpus(spark, sf_dir)))
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -3554,6 +3615,7 @@ _CHECK_FIRST = [
     "dd_containment",
     "ts_nfc_normalize",
     "p1b_canon_collapse",
+    "mm_image_neardup",
     "f15_snapshot_diff",
     "ts_compression",
     "lo_zorder_stats",

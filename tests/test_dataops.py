@@ -705,3 +705,49 @@ def test_compression_ratio_matches_zlib_and_orders_quality(spark):
         assert got[i]["ratio_e4"] == got[i]["zlib_len"] * 10000 // len(t)
     # template spam compresses hardest, random junk least
     assert got[1]["ratio_e4"] < got[2]["ratio_e4"] < got[3]["ratio_e4"]
+
+
+# --------------------------------------------------------- perceptual hash
+
+
+def test_dhash_scale_and_format_invariant():
+    from bingcrawler_spark.dataops import multimodal as MM
+
+    r64 = MM.block_raster(42, 64, 64)
+    r32 = MM.block_raster(42, 32, 32)
+    h_png64 = MM.dhash56(MM.encode_png(64, 64, raster=r64))
+    h_ppm32 = MM.dhash56(MM.encode_ppm_raster(32, 32, r32))
+    h_png32_paeth = MM.dhash56(MM.encode_png(32, 32, raster=r32, filter_type=4))
+    assert h_png64 == h_ppm32 == h_png32_paeth
+    assert h_png64 != MM.dhash56(MM.encode_png(64, 64, raster=MM.block_raster(43, 64, 64)))
+    assert 0 <= h_png64 < 1 << 56
+
+
+def test_dhash_matches_closed_form_sql():
+    import duckdb
+
+    from bingcrawler_spark.dataops import multimodal as MM
+
+    con = duckdb.connect()
+    for pid in (0, 1, 7, 991):
+        want = con.sql(f"SELECT {MM.dhash_formula_sql(str(pid))}").fetchone()[0]
+        got = MM.dhash56(MM.encode_ppm_raster(64, 64, MM.block_raster(pid, 64, 64)))
+        assert got == want, pid
+
+
+def test_image_neardup_pairs_links_twins_only(spark):
+    from bingcrawler_spark.dataops import multimodal as MM
+
+    rows = []
+    for pid in range(12):
+        rows.append((pid, MM.encode_png(64, 64, raster=MM.block_raster(pid, 64, 64))))
+        if pid % 3 == 0:
+            rows.append(
+                (pid + 100, MM.encode_ppm_raster(32, 32, MM.block_raster(pid, 32, 32)))
+            )
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in MM.image_neardup_pairs(MM.dhash_media(media)).collect()
+    }
+    assert pairs == {(0, 100): 0, (3, 103): 0, (6, 106): 0, (9, 109): 0}

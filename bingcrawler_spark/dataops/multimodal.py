@@ -222,6 +222,10 @@ def _png_raster(b: bytes) -> tuple[int, int, int, bytearray]:
     for y in range(h):
         ft = raw[y * (stride + 1)]
         line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        if ft == 0:  # fast path: unfiltered scanline is a straight copy
+            out += line
+            prev = bytearray(line)
+            continue
         cur = bytearray(stride)
         for i in range(stride):
             x = line[i]
@@ -583,12 +587,11 @@ def block_raster(img_id: int, width: int, height: int, grid: int = 8) -> bytes:
     bw, bh = width // grid, height // grid
     vals = [block_value(img_id, k) for k in range(grid * grid)]
     out = bytearray()
-    for y in range(height):
-        r = y // bh
-        for x in range(width):
-            c = x // bw
-            v = vals[r * grid + c]
-            out += bytes((v, v, v))
+    for r in range(grid):
+        row = b"".join(
+            bytes((vals[r * grid + c],)) * (3 * bw) for c in range(grid)
+        )
+        out += row * bh
     return bytes(out)
 
 
@@ -663,6 +666,9 @@ def image_neardup_pairs(
     dd_simhash_neardup, and the image-dedup pass a multimodal training
     pipeline runs after decode."""
     width = 56 // n_bands
+    # both sides of the band self-join read this — persist, or the whole
+    # upstream decode/hash pipeline recomputes per side
+    hashes = hashes.persist()
     banded = hashes.select(
         F.col("media_id").alias("doc"),
         F.col("dhash").alias("fp"),

@@ -2347,6 +2347,35 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gr_seed_distance",
+    GR.seed_distance_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS hop distance from the trusted-seed host set over the
+    deterministic host graph — the tiered-frontier depth signal (graph
+    distance from the seed SET, vs the reference's parent-chain depth
+    counter, UrlsDbManager putUrl depth+1).  Iterative min-propagation
+    with |hosts|-sized shuffles; unreached hosts report -1."""
+    return GR.seed_distance(
+        GR.doc_host_edges(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
+@register(
+    "gr_trustrank",
+    GR.host_trustrank_sql("SELECT doc_id, text FROM documents"),
+)
+def gr_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank + spam mass (Gyöngyi et al. 2004): the damped loop run
+    twice (uniform vs seed-only teleport) in int64 fixed point;
+    spam_mass_ppm = share of a host's PageRank NOT explainable by trust
+    flow — the global upgrade of gr_link_spam's local degree signals."""
+    return GR.host_trustrank(
+        GR.doc_host_edges(_t(spark, sf_dir, "documents").select("doc_id", "text"))
+    )
+
+
 @register("sel_dsir_topk", SEL.dsir_select_sql(_DOCS_SQL))
 def sel_dsir_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance resampling (Xie et al. 2023): hashed
@@ -3611,6 +3640,8 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "gr_seed_distance",
+    "gr_trustrank",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",
@@ -3621,8 +3652,6 @@ _CHECK_FIRST = [
     "lo_zorder_stats",
     "sk_hist_quantiles",
     "gr_anchor_text",
-    "ix_phrase_search",
-    "dd_containment",
     "gr_link_spam",
     "s10_url_features",
     "sel_dsir_topk",

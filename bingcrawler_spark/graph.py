@@ -60,6 +60,32 @@ def host_pagerank(
     |hosts|-sized relations, corpus never re-read.  Dangling hosts
     (no outlinks) keep contributing nothing; hosts with no inlinks
     settle at the teleport mass, exactly as the SQL oracle defines."""
+    ranks = _damped_rank(edges, n_iter, checkpoint_every)
+    ow = (
+        edges.groupBy("s", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("s")
+        .agg(F.sum("cnt").alias("out_w"))
+    )
+    return (
+        ranks.join(ow, ranks["host"] == ow["s"], "left")
+        .select(
+            F.col("host").cast("int").alias("host"),
+            F.col("r").alias("rank_fp"),
+            F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w"),
+        )
+    )
+
+
+def _damped_rank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+    seed_mod: int | None = None,
+) -> DataFrame:
+    """The damped int64 fixed-point loop shared by host_pagerank
+    (uniform teleport, seed_mod=None) and host_trustrank (teleport and
+    init mass restricted to hosts where host % seed_mod == 0)."""
     g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt"))
     ow = g.groupBy("s").agg(F.sum("cnt").alias("out_w"))
     ge = g.join(ow, "s").persist()
@@ -69,7 +95,14 @@ def host_pagerank(
         .distinct()
         .persist()
     )
-    ranks = hosts.withColumn("r", F.lit(INIT_FP).cast("long"))
+    if seed_mod is None:
+        init = F.lit(INIT_FP)
+        tele = F.lit(TELEPORT_FP)
+    else:
+        is_seed = F.col("host") % seed_mod == 0
+        init = F.when(is_seed, F.lit(INIT_FP)).otherwise(F.lit(0))
+        tele = F.when(is_seed, F.lit(TELEPORT_FP)).otherwise(F.lit(0))
+    ranks = hosts.withColumn("r", init.cast("long"))
     for i in range(n_iter):
         contrib = (
             ge.join(ranks, ge["s"] == ranks["host"])
@@ -87,22 +120,198 @@ def host_pagerank(
             hosts.join(contrib, hosts["host"] == contrib["d"], "left")
             .select(
                 "host",
-                (F.lit(TELEPORT_FP) + F.coalesce(F.col("c"), F.lit(0)))
+                (tele + F.coalesce(F.col("c"), F.lit(0)))
                 .cast("long")
                 .alias("r"),
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             ranks = ranks.localCheckpoint(eager=False)
-    out = (
-        ranks.join(ow, ranks["host"] == ow["s"], "left")
-        .select(
-            F.col("host").cast("int").alias("host"),
-            F.col("r").alias("rank_fp"),
-            F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w"),
-        )
+    return ranks
+
+
+UNREACHED_FP = 1 << 30  # internal BFS sentinel, far above any k-hop dist
+
+
+def seed_distance(
+    edges: DataFrame,
+    seed_mod: int = 8,
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """Bounded BFS hop distance from seed hosts over the (s, d) host
+    multigraph — the crawl-depth signal a tiered frontier budgets with
+    (pages k hops from trusted seeds get tier-k politeness/recrawl
+    budgets; the reference tracks per-URL `depth` linearly from its own
+    parent chain, UrlsDbManager putUrl depth+1, but never graph distance
+    from the seed SET, which is what actually bounds spam exposure).
+
+    Distributed shape per iteration: one shuffle keyed by src (dist ⨝
+    distinct edges) + one min-reduce keyed by dst — |hosts|-sized
+    relations only, corpus never re-read.  Distances are exact small
+    ints (associative min), so the result is bit-identical across
+    partitionings.  Hosts unreached within n_iter hops report -1.
+
+    Same double-reference trap as HITS: each iteration's dist feeds both
+    the relax join and the keep-old-value leg, so persist each round and
+    eagerly localCheckpoint every `checkpoint_every` to keep Catalyst
+    planning from a leaf."""
+    g = edges.select("s", "d").distinct().persist()
+    hosts = (
+        edges.select(F.col("s").alias("host"))
+        .union(edges.select(F.col("d").alias("host")))
+        .distinct()
+        .persist()
     )
-    return out
+    dist = hosts.select(
+        "host",
+        F.when(F.col("host") % seed_mod == 0, F.lit(0))
+        .otherwise(F.lit(UNREACHED_FP))
+        .cast("long")
+        .alias("dist"),
+    )
+    for i in range(n_iter):
+        dist = dist.persist()
+        relax = (
+            g.join(dist.withColumnRenamed("host", "sh"), F.col("sh") == g["s"])
+            .select(F.col("d"), (F.col("dist") + 1).alias("nd"))
+            .groupBy("d")
+            .agg(F.min("nd").alias("nd"))
+        )
+        dist = (
+            dist.join(relax, dist["host"] == relax["d"], "left")
+            .select(
+                "host",
+                F.least(
+                    F.col("dist"),
+                    F.coalesce(F.col("nd"), F.lit(UNREACHED_FP)),
+                )
+                .cast("long")
+                .alias("dist"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            dist = dist.localCheckpoint(eager=True)
+    return dist.select(
+        F.col("host").cast("int").alias("host"),
+        F.when(F.col("dist") >= UNREACHED_FP, F.lit(-1))
+        .otherwise(F.col("dist"))
+        .cast("long")
+        .alias("dist"),
+    )
+
+
+def seed_distance_sql(
+    docs_sql: str, seed_mod: int = 8, n_iter: int = 5, n_hosts: int = 32
+) -> str:
+    """Chained-CTE DuckDB twin of doc_host_edges → seed_distance.
+    Each iteration CTE is referenced twice (keep-old + relax legs), so
+    AS MATERIALIZED prevents the 2^n inline recompute (the HITS lesson)."""
+    inf = UNREACHED_FP
+    ctes = [
+        f"e AS (SELECT doc_id % {n_hosts} AS s,"
+        f" ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS d"
+        f" FROM ({docs_sql}))",
+        "g AS MATERIALIZED (SELECT DISTINCT s, d FROM e)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT s AS host FROM e"
+        " UNION SELECT DISTINCT d FROM e)",
+        f"d0 AS (SELECT host, (CASE WHEN host % {seed_mod} = 0 THEN 0"
+        f" ELSE {inf} END)::BIGINT AS dist FROM hosts)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"d{i} AS MATERIALIZED (SELECT h.host,"
+            f" least(p.dist, coalesce(min(q.dist + 1), {inf}))::BIGINT AS dist"
+            f" FROM hosts h JOIN d{i - 1} p ON p.host = h.host"
+            f" LEFT JOIN g ON g.d = h.host"
+            f" LEFT JOIN d{i - 1} q ON q.host = g.s"
+            f" GROUP BY h.host, p.dist)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT host::INT AS host,"
+        f" (CASE WHEN dist >= {inf} THEN -1 ELSE dist END)::BIGINT AS dist"
+        f" FROM d{n_iter}"
+    )
+
+
+def host_trustrank(
+    edges: DataFrame,
+    seed_mod: int = 8,
+    n_iter: int = 5,
+    checkpoint_every: int = 2,
+) -> DataFrame:
+    """TrustRank (Gyöngyi et al. 2004): PageRank with teleport mass
+    restricted to a trusted seed set, plus the derived spam-mass
+    estimate — the frontier-hygiene upgrade of gr_link_spam's local
+    signals (spam mass looks at where a host's RANK comes from, not just
+    its own degree profile).
+
+    Runs the same damped int64 fixed-point loop as host_pagerank twice
+    (uniform teleport, then seed-only teleport) and reports
+    `spam_mass_ppm` = max(rank − trust, 0)·10⁶ div rank.  rank_fp ≥
+    teleport mass > 0 always, so the divide is safe; everything stays
+    integer and therefore partition- and engine-exact.  Scale shape:
+    identical to host_pagerank (|hosts|-sized shuffles per iteration,
+    corpus read once into the grouped edge list)."""
+    pr = host_pagerank(edges, n_iter=n_iter, checkpoint_every=checkpoint_every)
+    tr = _damped_rank(
+        edges,
+        n_iter=n_iter,
+        checkpoint_every=checkpoint_every,
+        seed_mod=seed_mod,
+    ).select("host", F.col("r").alias("trust_fp"))
+    return pr.join(tr, "host").select(
+        F.col("host").cast("int").alias("host"),
+        "rank_fp",
+        "trust_fp",
+        F.expr(
+            "div(greatest(rank_fp - trust_fp, 0) * 1000000, rank_fp)"
+        ).alias("spam_mass_ppm"),
+    )
+
+
+def host_trustrank_sql(
+    docs_sql: str, seed_mod: int = 8, n_iter: int = 5, n_hosts: int = 32
+) -> str:
+    """Chained-CTE DuckDB twin of doc_host_edges → host_trustrank:
+    two damped chains (uniform it*, seed-teleport tt*) over one shared
+    grouped edge list."""
+    ctes = [
+        f"e AS (SELECT doc_id % {n_hosts} AS s,"
+        f" ('0x' || substr(md5(text), 1, 2))::BIGINT % {n_hosts} AS d"
+        f" FROM ({docs_sql}))",
+        "g AS MATERIALIZED (SELECT s, d, count(*)::BIGINT AS cnt"
+        " FROM e GROUP BY s, d)",
+        "ow AS MATERIALIZED (SELECT s, sum(cnt)::BIGINT AS out_w"
+        " FROM g GROUP BY s)",
+        "hosts AS MATERIALIZED (SELECT DISTINCT s AS host FROM e"
+        " UNION SELECT DISTINCT d FROM e)",
+        f"it0 AS (SELECT host, {INIT_FP}::BIGINT AS r FROM hosts)",
+        f"tt0 AS (SELECT host, (CASE WHEN host % {seed_mod} = 0"
+        f" THEN {INIT_FP} ELSE 0 END)::BIGINT AS r FROM hosts)",
+    ]
+    for i in range(1, n_iter + 1):
+        for pfx, tele in (
+            ("it", str(TELEPORT_FP)),
+            ("tt", f"CASE WHEN h.host % {seed_mod} = 0"
+                   f" THEN {TELEPORT_FP} ELSE 0 END"),
+        ):
+            ctes.append(
+                f"{pfx}{i} AS MATERIALIZED (SELECT h.host,"
+                f" ({tele} + coalesce(sum(g.cnt *"
+                f" ((r.r * 85) // (100 * ow.out_w))), 0))::BIGINT AS r"
+                f" FROM hosts h LEFT JOIN g ON g.d = h.host"
+                f" LEFT JOIN {pfx}{i - 1} r ON r.host = g.s"
+                f" LEFT JOIN ow ON ow.s = g.s GROUP BY h.host)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT h.host::INT AS host,"
+        f" it.r AS rank_fp, tt.r AS trust_fp,"
+        f" (greatest(it.r - tt.r, 0) * 1000000 // it.r)::BIGINT"
+        f" AS spam_mass_ppm"
+        f" FROM hosts h JOIN it{n_iter} it ON it.host = h.host"
+        f" JOIN tt{n_iter} tt ON tt.host = h.host"
+    )
 
 
 def host_hits(

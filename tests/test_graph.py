@@ -174,3 +174,99 @@ def test_link_spam_reciprocal_and_self(spark):
     assert got[1]["recip_w"] == 1 and got[1]["recip_ppm"] == 1_000_000
     assert got[2]["self_w"] == 1 and got[2]["recip_w"] == 0
     assert got[3]["out_w"] == 1 and got[3]["in_w"] == 0 and got[3]["recip_ppm"] == 0
+
+
+# ------------------------------------------------------- seed distance
+
+
+def _dists(spark, edges, n_iter=5, seed_mod=8):
+    df = spark.createDataFrame(edges, "s long, d long")
+    return {
+        r["host"]: r["dist"]
+        for r in G.seed_distance(df, seed_mod=seed_mod, n_iter=n_iter).collect()
+    }
+
+
+def test_seed_distance_chain_and_unreached(spark):
+    # 0 is the only seed (host % 8 == 0); 5->6 is a disconnected island.
+    got = _dists(spark, [(0, 1), (1, 2), (2, 3), (5, 6)])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 5: -1, 6: -1}
+
+
+def test_seed_distance_min_over_paths(spark):
+    # Two paths 0->3: direct (1 hop) and via 1,2 (3 hops) -> min wins.
+    got = _dists(spark, [(0, 3), (0, 1), (1, 2), (2, 3)])
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_seed_distance_bounded_by_n_iter(spark):
+    # 4-hop tail with only 2 iterations: hosts past the horizon stay -1.
+    got = _dists(spark, [(0, 1), (1, 2), (2, 3), (3, 4)], n_iter=2)
+    assert got == {0: 0, 1: 1, 2: 2, 3: -1, 4: -1}
+
+
+def test_seed_distance_matches_duckdb_twin(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in G.seed_distance(
+            G.doc_host_edges(docs.select("doc_id", "text"))
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            G.seed_distance_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ----------------------------------------------------------- trustrank
+
+
+def test_trustrank_cycle_seed_masses(spark):
+    # Cycle 0->1->2->0, seed {0}: uniform PR is the 1.0 fixed point;
+    # the seed-teleport chain is hand-iterable integer arithmetic.
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "s long, d long")
+    got = {
+        r["host"]: (r["rank_fp"], r["trust_fp"], r["spam_mass_ppm"])
+        for r in G.host_trustrank(df, n_iter=2).collect()
+    }
+    # t0 = (1e6, 0, 0); t1 = (150000, 850000, 0); t2 = (150000+0,
+    # 0+127500, 0+722500) where 850000*85//100 = 722500.
+    assert got[0] == (1_000_000, 150_000, 850_000)
+    assert got[1] == (1_000_000, 127_500, 872_500)
+    assert got[2] == (1_000_000, 722_500, 277_500)
+
+
+def test_trustrank_all_seeds_equals_pagerank(spark):
+    # seed_mod=1 makes every host a seed: trust == rank, spam mass 0.
+    df = spark.createDataFrame([(0, 1), (1, 0), (1, 2)], "s long, d long")
+    for r in G.host_trustrank(df, seed_mod=1, n_iter=4).collect():
+        assert r["trust_fp"] == r["rank_fp"] and r["spam_mass_ppm"] == 0
+
+
+def test_trustrank_matches_duckdb_twin(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        tuple(r)
+        for r in G.host_trustrank(
+            G.doc_host_edges(docs.select("doc_id", "text"))
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            G.host_trustrank_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert got == want

@@ -778,3 +778,113 @@ def containment_pairs_sql(
       AND len(list_intersect(sa.sh, sb.sh)) * 100
           >= least(len(sa.sh), len(sb.sh)) * {min_containment_pct}
     """
+
+
+# --------------------------------------------- content-defined chunking
+
+CDC_MOD = 8  # boundary probability 1/8 -> mean chunk length ~8 tokens
+
+
+def cdc_chunks(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking dedup (the LBFS/Gear idea at token
+    granularity): a token STARTS a new chunk when md5(token) mod
+    CDC_MOD == 0, so chunk boundaries are a function of content alone —
+    insert one word at the top of a boilerplate block and every chunk
+    after the next boundary still aligns, which fixed-window chunking
+    (chunk_dedup above) cannot do.  Reports every chunk that repeats
+    across the corpus: (chunk_md5, n_toks, n_docs, n_occ), n_occ >= 2.
+
+    Scale shape: the chunker is one JVM-side linear fold per document
+    (F.aggregate over the token array — no explode of tokens, no
+    Python); only (chunk_md5, n_toks, doc_id) rows shuffle to the
+    group-by, so raw text never crosses the wire."""
+    toks = X.tokens_col(F.col(text_col))
+
+    def _is_boundary(t):
+        return (
+            F.conv(F.substring(F.md5(t), 1, 2), 16, 10).cast("long")
+            % CDC_MOD
+            == 0
+        )
+
+    # `started` (not cur != '') distinguishes "no tokens yet" from "first
+    # token was the empty string", so whitespace-degenerate docs chunk
+    # identically to the SQL twin's pos-1 rule.
+    init = F.struct(
+        F.array().cast("array<string>").alias("chunks"),
+        F.lit("").alias("cur"),
+        F.lit(False).alias("started"),
+    )
+
+    def _merge(acc, t):
+        start_new = _is_boundary(t) & acc["started"]
+        return F.struct(
+            F.when(start_new, F.concat(acc["chunks"], F.array(acc["cur"])))
+            .otherwise(acc["chunks"])
+            .alias("chunks"),
+            F.when(start_new | ~acc["started"], t)
+            .otherwise(F.concat(acc["cur"], F.lit(" "), t))
+            .alias("cur"),
+            F.lit(True).alias("started"),
+        )
+
+    def _finish(acc):
+        return F.when(
+            acc["started"], F.concat(acc["chunks"], F.array(acc["cur"]))
+        ).otherwise(acc["chunks"])
+
+    chunks = F.aggregate(toks, init, _merge, _finish)
+    ex = docs.select(F.col(id_col).alias("doc"), F.explode(chunks).alias("chunk"))
+    per = ex.select(
+        "doc",
+        F.md5("chunk").alias("chunk_md5"),
+        F.size(F.split(F.col("chunk"), " ")).cast("int").alias("n_toks"),
+    )
+    return (
+        per.groupBy("chunk_md5")
+        .agg(
+            F.min("n_toks").alias("n_toks"),
+            F.countDistinct("doc").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .where(F.col("n_occ") >= 2)
+    )
+
+
+def cdc_chunks_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of cdc_chunks via an independent algorithm: window
+    cumulative-sum chunk ids (the fold's 'boundary starts a chunk except
+    at position 1' rule becomes nb=0 at pos 1)."""
+    toks = X.tokens_sql(text_col)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS doc, {toks} AS toks FROM ({docs_sql})),
+    ex AS (
+      SELECT doc, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS pos
+      FROM base),
+    b AS (
+      SELECT doc, pos, tok,
+             CASE WHEN pos > 1
+                   AND ('0x' || substr(md5(tok), 1, 2))::BIGINT
+                       % {CDC_MOD} = 0
+                  THEN 1 ELSE 0 END AS nb
+      FROM ex),
+    cid AS (
+      SELECT doc, pos, tok,
+             sum(nb) OVER (PARTITION BY doc ORDER BY pos) AS chunk_id
+      FROM b),
+    ch AS (
+      SELECT doc, chunk_id,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk,
+             count(*)::INT AS n_toks
+      FROM cid GROUP BY doc, chunk_id)
+    SELECT md5(chunk) AS chunk_md5, min(n_toks)::INT AS n_toks,
+           count(DISTINCT doc)::BIGINT AS n_docs,
+           count(*)::BIGINT AS n_occ
+    FROM ch GROUP BY md5(chunk) HAVING count(*) >= 2
+    """

@@ -554,3 +554,101 @@ def compression_ratio(
         "zlib_len",
         F.expr("div(zlib_len * 10000, greatest(raw_len, 1))").alias("ratio_e4"),
     )
+
+
+# ------------------------------------------------------ vocabulary growth
+
+_RANK_MILESTONES = [1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]
+
+
+def vocab_growth(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level vocabulary statistics as (metric, value) rows —
+    the Zipf/Heaps profile a training-data curator reads before mixing
+    (total_tokens, vocab, hapax/dis legomena, type-token ratio in ppm,
+    and the frequency at power-of-two ranks, which is the Zipf curve
+    sampled log-uniformly without any float regression — every value
+    integer and therefore engine/partitioning-exact).
+
+    Scale shape: one explode -> groupBy(token) count with map-side
+    combine (the shuffle carries (token, 1) pairs, never documents);
+    the rank milestones come from a top-1024 TakeOrderedAndProject over
+    the vocabulary relation, so no global sort of the full vocab
+    materializes."""
+    from pyspark.sql.window import Window as W
+
+    toks = X.tokens_col(F.col(text_col))
+    tc = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .persist()
+    )
+    totals = tc.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum((F.col("cnt") == 1).cast("long")).alias("hapax"),
+        F.sum((F.col("cnt") == 2).cast("long")).alias("dis"),
+    ).select(
+        F.explode(
+            F.map_from_arrays(
+                F.array(
+                    F.lit("total_tokens"),
+                    F.lit("vocab"),
+                    F.lit("hapax"),
+                    F.lit("dis"),
+                    F.lit("ttr_ppm"),
+                ),
+                F.array(
+                    F.col("total_tokens"),
+                    F.col("vocab"),
+                    F.col("hapax"),
+                    F.col("dis"),
+                    F.expr("div(vocab * 1000000, greatest(total_tokens, 1))"),
+                ),
+            )
+        ).alias("metric", "value")
+    )
+    top = tc.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(
+        max(_RANK_MILESTONES)
+    )
+    w = W.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranks = (
+        top.withColumn("r", F.row_number().over(w))
+        .where(F.col("r").isin(_RANK_MILESTONES))
+        .select(
+            F.concat(F.lit("rank_"), F.col("r").cast("string")).alias("metric"),
+            F.col("cnt").cast("long").alias("value"),
+        )
+    )
+    return totals.unionByName(ranks)
+
+
+def vocab_growth_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = X.tokens_sql(text_col)
+    miles = ", ".join(str(m) for m in _RANK_MILESTONES)
+    return f"""
+    WITH tc AS (
+      SELECT tok, count(*)::BIGINT AS cnt
+      FROM (SELECT unnest({toks}) AS tok FROM ({docs_sql}))
+      GROUP BY tok),
+    agg AS (
+      SELECT sum(cnt)::BIGINT AS total_tokens, count(*)::BIGINT AS vocab,
+             sum((cnt = 1)::INT)::BIGINT AS hapax,
+             sum((cnt = 2)::INT)::BIGINT AS dis
+      FROM tc),
+    rk AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+      FROM tc)
+    SELECT 'total_tokens' AS metric, total_tokens AS value FROM agg
+    UNION ALL SELECT 'vocab', vocab FROM agg
+    UNION ALL SELECT 'hapax', hapax FROM agg
+    UNION ALL SELECT 'dis', dis FROM agg
+    UNION ALL SELECT 'ttr_ppm',
+      (vocab * 1000000 // greatest(total_tokens, 1))::BIGINT FROM agg
+    UNION ALL SELECT 'rank_' || r::VARCHAR, cnt::BIGINT
+      FROM rk WHERE r IN ({miles})
+    """

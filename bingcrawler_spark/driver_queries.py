@@ -2347,6 +2347,48 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CDC_TAIL = (
+    "subscribe to our newsletter today for weekly updates about new "
+    "articles and exclusive member content delivered straight to your inbox"
+)
+_DOCS_CDC_SQL = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' " + _CDC_TAIL
+    + "' ELSE text END AS text FROM documents"
+)
+
+
+@register("dd_cdc_chunks", DD.cdc_chunks_sql(_DOCS_CDC_SQL))
+def dd_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup (LBFS/Gear boundaries at token
+    granularity): chunk boundaries are a pure function of content, so a
+    boilerplate block repeated mid-page dedups even when its byte offset
+    shifts — the alignment-robust upgrade of dd_chunk_dedup's fixed
+    windows.  One in seven docs carries a planted 21-token boilerplate
+    tail, so the repeated-chunk report is non-trivially populated; the
+    oracle chunks by an independent algorithm (window cumsum vs the
+    Spark side's JVM linear fold)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + _CDC_TAIL)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return DD.cdc_chunks(d)
+
+
+@register("ts_vocab_growth", TS.vocab_growth_sql(_DOCS_SQL))
+def ts_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary profile: total/vocab/hapax/dis counts, integer
+    type-token ratio, and the Zipf curve sampled at power-of-two ranks —
+    all integers, no float regression, engine-exact.  The token-count
+    shuffle carries (token, 1) pairs only; rank milestones come from a
+    top-1024, never a full-vocab global sort."""
+    return TS.vocab_growth(_t(spark, sf_dir, "documents"))
+
+
 @register(
     "gr_seed_distance",
     GR.seed_distance_sql("SELECT doc_id, text FROM documents"),
@@ -3642,6 +3684,8 @@ _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
     "gr_seed_distance",
     "gr_trustrank",
+    "dd_cdc_chunks",
+    "ts_vocab_growth",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

@@ -751,3 +751,135 @@ def test_image_neardup_pairs_links_twins_only(spark):
         for r in MM.image_neardup_pairs(MM.dhash_media(media)).collect()
     }
     assert pairs == {(0, 100): 0, (3, 103): 0, (6, 106): 0, (9, 109): 0}
+
+
+# --------------------------------------------- content-defined chunking
+
+
+def _cdc_py(text: str) -> list[str]:
+    """Pure-Python oracle of the CDC chunker spec."""
+    chunks, cur, started = [], "", False
+    for t in text.split(" "):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:2], 16)
+        if h % DD.CDC_MOD == 0 and started:
+            chunks.append(cur)
+            cur = t
+        elif not started:
+            cur = t
+        else:
+            cur = cur + " " + t
+        started = True
+    if started:
+        chunks.append(cur)
+    return chunks
+
+
+def test_cdc_chunker_matches_python_spec(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs far away",
+        "one two three four five six seven eight nine ten eleven twelve",
+        "",
+        "a  b",  # double space -> empty token survives the roundtrip
+        "solo",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["chunk_md5"], r["n_toks"], r["n_docs"], r["n_occ"])
+        for r in DD.cdc_chunks(df).collect()
+    }
+    # python-side expectation: chunk multiset over all docs, keep >= 2
+    from collections import Counter, defaultdict
+
+    occ = Counter()
+    docs_per = defaultdict(set)
+    for i, t in rows:
+        for c in _cdc_py(t):
+            occ[hashlib.md5(c.encode()).hexdigest()] += 1
+            docs_per[hashlib.md5(c.encode()).hexdigest()].add(i)
+    want = set()
+    tok_len = {}
+    for i, t in rows:
+        for c in _cdc_py(t):
+            tok_len[hashlib.md5(c.encode()).hexdigest()] = len(c.split(" "))
+    for h, n in occ.items():
+        if n >= 2:
+            want.add((h, tok_len[h], len(docs_per[h]), n))
+    assert got == want
+
+
+def test_cdc_survives_prefix_shift(spark):
+    # The CDC property fixed windows lack: prepend one word and chunks
+    # after the first boundary still align -> shared chunks reported.
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda "
+        "mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega "
+        "red orange yellow green blue indigo violet cyan magenta teal"
+    )
+    df = spark.createDataFrame(
+        [(0, base), (1, "shifted " + base)], "doc_id long, text string"
+    )
+    shared = [
+        r
+        for r in DD.cdc_chunks(df).collect()
+        if r["n_docs"] == 2 and r["n_occ"] == 2
+    ]
+    # python spec agrees there is at least one post-boundary shared chunk
+    a, b = set(_cdc_py(base)), set(_cdc_py("shifted " + base))
+    assert len(shared) == len(a & b) > 0
+
+
+def test_cdc_matches_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    got = sorted(tuple(r) for r in DD.cdc_chunks(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            DD.cdc_chunks_sql("SELECT doc_id, text FROM documents")
+        ).fetchall()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------ vocabulary growth
+
+
+def test_vocab_growth_hand_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "a c")], "doc_id long, text string"
+    )
+    got = {r["metric"]: r["value"] for r in TS.vocab_growth(df).collect()}
+    assert got["total_tokens"] == 5
+    assert got["vocab"] == 3
+    assert got["hapax"] == 2  # b, c
+    assert got["dis"] == 0
+    assert got["ttr_ppm"] == 3 * 1_000_000 // 5
+    assert got["rank_1"] == 3  # 'a'
+    assert got["rank_2"] == 1  # 'b' (count 1, tie broken by token asc)
+    assert "rank_4" not in got  # vocab is only 3
+
+
+def test_vocab_growth_matches_duckdb_twin(spark, sf_dir):
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(tuple(r) for r in TS.vocab_growth(docs).collect())
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            TS.vocab_growth_sql("SELECT doc_id, text, lang FROM documents")
+        ).fetchall()
+    )
+    assert got == want

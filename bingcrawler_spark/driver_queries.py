@@ -2347,6 +2347,70 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CACHE_OBS_SQL = """
+  SELECT 'http://host' || (o_custkey % 50)::VARCHAR || '.example/o/'
+           || o_orderkey::VARCHAR AS url,
+         (o_orderkey % 1000)::BIGINT AS age_s,
+         CASE WHEN o_orderkey % 3 = 0
+              THEN (100 + o_orderkey % 700)::BIGINT END AS max_age_s,
+         CASE WHEN o_orderkey % 4 = 0
+              THEN md5('etag' || o_orderkey::VARCHAR) END AS etag,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN (1700000000 + o_orderkey)::BIGINT END AS last_modified_ts
+  FROM orders
+"""
+
+
+@register("s11_http_cache", FR.cache_decisions_sql(_CACHE_OBS_SQL))
+def s11_http_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9111 freshness triage for recrawl planning: fresh /
+    revalidate-etag / revalidate-lm / refetch tiers plus remaining TTL —
+    the conditional-GET economics the reference skips (BingCrawlerTask
+    re-GETs every popped url unconditionally).  Derived validator table
+    mixes all null/else arms; pure per-row expressions, shuffle-free."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    obs = o.select(
+        F.concat(
+            F.lit("http://host"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".example/o/"),
+            k.cast("string"),
+        ).alias("url"),
+        (k % 1000).cast("long").alias("age_s"),
+        F.when(k % 3 == 0, (F.lit(100) + k % 700).cast("long")).alias("max_age_s"),
+        F.when(k % 4 == 0, F.md5(F.concat(F.lit("etag"), k.cast("string")))).alias(
+            "etag"
+        ),
+        F.when(k % 5 == 0, (F.lit(1700000000) + k).cast("long")).alias(
+            "last_modified_ts"
+        ),
+    )
+    return FR.cache_decisions(obs)
+
+
+_SHARD_HOSTS_SQL = (
+    "SELECT DISTINCT 'host' || (c_custkey % 200)::VARCHAR || '.example'"
+    " AS host FROM customer"
+)
+
+
+@register("f16_shard_assign", LO.rendezvous_assign_sql(_SHARD_HOSTS_SQL))
+def f16_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash host->fetcher-shard assignment at fleet sizes 8
+    and 12: coordination-free (pure hash of (host, shard)), and the
+    moved set under the resize is only the hosts a NEW shard wins —
+    the minimal-movement topology a 1000-executor crawler needs to
+    resize without re-warming every politeness queue."""
+    c = _t(spark, sf_dir, "customer")
+    hosts = c.select(
+        F.concat(
+            F.lit("host"), (F.col("c_custkey") % 200).cast("string"), F.lit(".example")
+        ).alias("host")
+    ).distinct()
+    return LO.rendezvous_assign(hosts)
+
+
 _CDC_TAIL = (
     "subscribe to our newsletter today for weekly updates about new "
     "articles and exclusive member content delivered straight to your inbox"
@@ -3686,6 +3750,8 @@ _CHECK_FIRST = [
     "gr_trustrank",
     "dd_cdc_chunks",
     "ts_vocab_growth",
+    "s11_http_cache",
+    "f16_shard_assign",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

@@ -578,3 +578,53 @@ def trap_filter(
         .drop("_prefix", "_rn")
     )
     return out
+
+
+# -------------------------------------------------------- cache freshness
+
+
+def cache_decisions(obs: DataFrame) -> DataFrame:
+    """RFC 9111 freshness triage for the recrawl planner: given the
+    cached response's validators per url — ``age_s`` (seconds since
+    fetch), nullable ``max_age_s``, nullable ``etag``, nullable
+    ``last_modified_ts`` — classify the next visit as
+
+      * ``fresh``            age < max-age: skip the fetch entirely,
+      * ``revalidate_etag``  conditional GET with If-None-Match,
+      * ``revalidate_lm``    conditional GET with If-Modified-Since,
+      * ``refetch``          no validators: full download.
+
+    ``ttl_left_s`` carries the remaining freshness budget for `fresh`
+    rows (the scheduler sorts by it to batch soon-expiring urls).  The
+    reference refetches unconditionally (BingCrawlerTask re-GETs every
+    popped url); at 100 TB the conditional tiers are what keep recrawl
+    bandwidth sublinear in corpus size.  Pure per-row expressions:
+    shuffle-free, partitioning-exact."""
+    fresh = F.col("max_age_s").isNotNull() & (F.col("age_s") < F.col("max_age_s"))
+    return obs.select(
+        "url",
+        F.when(fresh, F.lit("fresh"))
+        .when(F.col("etag").isNotNull(), F.lit("revalidate_etag"))
+        .when(F.col("last_modified_ts").isNotNull(), F.lit("revalidate_lm"))
+        .otherwise(F.lit("refetch"))
+        .alias("decision"),
+        F.when(fresh, F.col("max_age_s") - F.col("age_s"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ttl_left_s"),
+    )
+
+
+def cache_decisions_sql(obs_sql: str) -> str:
+    """DuckDB twin of cache_decisions over the same observation rows."""
+    return f"""
+    SELECT url,
+           CASE WHEN max_age_s IS NOT NULL AND age_s < max_age_s
+                  THEN 'fresh'
+                WHEN etag IS NOT NULL THEN 'revalidate_etag'
+                WHEN last_modified_ts IS NOT NULL THEN 'revalidate_lm'
+                ELSE 'refetch' END AS decision,
+           (CASE WHEN max_age_s IS NOT NULL AND age_s < max_age_s
+                  THEN max_age_s - age_s ELSE 0 END)::BIGINT AS ttl_left_s
+    FROM ({obs_sql})
+    """

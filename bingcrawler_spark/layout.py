@@ -189,3 +189,78 @@ def zorder_file_stats_sql(
                 THEN 1 ELSE 0 END::INT AS scan_needed
     FROM pts GROUP BY file_id
     """
+
+
+# --------------------------------------------------- rendezvous sharding
+
+
+def rendezvous_assign(
+    hosts: DataFrame, n_a: int = 8, n_b: int = 12
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing of hosts onto crawler
+    fetch shards, at two fleet sizes — the topology layer of a sharded
+    frontier: every worker computes its own assignment from (host,
+    shard) hashes alone, no coordination table, and growing the fleet
+    n_a -> n_b moves only the hosts whose new-shard score wins
+    (expected (n_b-n_a)/n_b of them), vs ~100% for `hash(host) mod n`.
+
+    Scores are the top 60 bits of md5(host|shard) (15 hex chars, so the
+    BIGINT parse is overflow-safe in both engines).  Scale shape: the
+    candidate relation is |hosts| x n_shards narrow rows; the winner
+    per host is a size-n window group, never a global sort."""
+    from pyspark.sql.window import Window as W
+
+    def _best(n: int, out: str) -> DataFrame:
+        ex = hosts.select(
+            "host", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("s")
+        )
+        scored = ex.select(
+            "host",
+            "s",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.col("host"), F.col("s"))), 1, 15
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("score"),
+        )
+        w = W.partitionBy("host").orderBy(F.col("score").desc(), F.col("s").asc())
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("host", F.col("s").cast("int").alias(out))
+        )
+
+    a = _best(n_a, "shard_a")
+    b = _best(n_b, "shard_b")
+    return a.join(b, "host").select(
+        "host",
+        "shard_a",
+        "shard_b",
+        (F.col("shard_a") != F.col("shard_b")).cast("int").alias("moved"),
+    )
+
+
+def rendezvous_assign_sql(hosts_sql: str, n_a: int = 8, n_b: int = 12) -> str:
+    """DuckDB twin of rendezvous_assign."""
+
+    def _best(n: int, out: str) -> str:
+        return f"""(
+      SELECT host, s::INT AS {out} FROM (
+        SELECT host, s,
+               row_number() OVER (
+                 PARTITION BY host
+                 ORDER BY ('0x' || substr(md5(host || '|' || s::VARCHAR),
+                                          1, 15))::BIGINT DESC, s ASC) AS r
+        FROM (SELECT host FROM ({hosts_sql})), range(0, {n}) t(s))
+      WHERE r = 1)"""
+
+    return f"""
+    SELECT a.host, a.shard_a, b.shard_b,
+           (a.shard_a <> b.shard_b)::INT AS moved
+    FROM {_best(n_a, "shard_a")} a JOIN {_best(n_b, "shard_b")} b
+      ON a.host = b.host
+    """

@@ -402,3 +402,37 @@ def test_snapshot_diff_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# -------------------------------------------------------- cache freshness
+
+
+def test_cache_decisions_tiers(spark):
+    from bingcrawler_spark import frontier as FR
+
+    rows = [
+        # url, age, max_age, etag, last_modified
+        ("u1", 10, 100, None, None),        # fresh, ttl 90
+        ("u2", 100, 100, "e", None),        # expired -> etag
+        ("u3", 100, 100, None, 5),          # expired -> last-modified
+        ("u4", 100, 100, None, None),       # expired, no validators
+        ("u5", 50, None, "e", 5),           # no max-age -> etag wins
+        ("u6", 50, None, None, 5),          # -> last-modified
+        ("u7", 50, None, None, None),       # -> refetch
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, age_s long, max_age_s long, etag string,"
+        " last_modified_ts long",
+    )
+    got = {r["url"]: (r["decision"], r["ttl_left_s"])
+           for r in FR.cache_decisions(df).collect()}
+    assert got == {
+        "u1": ("fresh", 90),
+        "u2": ("revalidate_etag", 0),
+        "u3": ("revalidate_lm", 0),
+        "u4": ("refetch", 0),
+        "u5": ("revalidate_etag", 0),
+        "u6": ("revalidate_lm", 0),
+        "u7": ("refetch", 0),
+    }

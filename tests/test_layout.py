@@ -127,3 +127,60 @@ def test_zorder_envelopes_prune_vs_linear(spark):
     # the default 8x12 box intersects at most 3x4 tiles = 12/64 files;
     # linear (row-order) layout would need ceil(12/32*64)=24+ files
     assert sum(r["scan_needed"] for r in stats) <= 12
+
+
+# --------------------------------------------------- rendezvous sharding
+
+
+def test_rendezvous_deterministic_and_in_range(spark):
+    from bingcrawler_spark import layout as LO
+
+    hosts = spark.createDataFrame(
+        [(f"h{i}.example",) for i in range(64)], "host string"
+    )
+    rows = {r["host"]: r for r in LO.rendezvous_assign(hosts).collect()}
+    assert len(rows) == 64
+    for r in rows.values():
+        assert 0 <= r["shard_a"] < 8 and 0 <= r["shard_b"] < 12
+    again = {r["host"]: r for r in LO.rendezvous_assign(hosts).collect()}
+    assert {h: tuple(r) for h, r in rows.items()} == {
+        h: tuple(r) for h, r in again.items()
+    }
+
+
+def test_rendezvous_minimal_movement(spark):
+    # Growing 8 -> 12 shards: every moved host moved TO a new shard
+    # (8..11); hosts whose winner stays among 0..7 keep it exactly.
+    from bingcrawler_spark import layout as LO
+
+    hosts = spark.createDataFrame(
+        [(f"site{i}.example",) for i in range(256)], "host string"
+    )
+    rows = LO.rendezvous_assign(hosts).collect()
+    moved = [r for r in rows if r["moved"] == 1]
+    assert all(r["shard_b"] >= 8 for r in moved)
+    assert all(r["shard_a"] == r["shard_b"] for r in rows if r["moved"] == 0)
+    # expected moved fraction ~ 4/12; allow a generous band
+    assert 0.15 < len(moved) / len(rows) < 0.55
+
+
+def test_rendezvous_matches_duckdb_twin(spark):
+    import duckdb
+    from bingcrawler_spark import layout as LO
+
+    hosts = spark.createDataFrame(
+        [(f"w{i}.example",) for i in range(100)], "host string"
+    )
+    got = sorted(tuple(r) for r in LO.rendezvous_assign(hosts).collect())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE hosts AS SELECT 'w' || r::VARCHAR || '.example' AS host"
+        " FROM range(100) t(r)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(
+            LO.rendezvous_assign_sql("SELECT host FROM hosts")
+        ).fetchall()
+    )
+    assert got == want

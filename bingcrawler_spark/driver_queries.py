@@ -2347,6 +2347,39 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "p17_jsonld_extract",
+    """
+    SELECT doc_id,
+           (doc_id % 9 <> 0)::INT AS has_ld,
+           CASE WHEN doc_id % 9 <> 0
+                THEN 'Doc ' || doc_id::VARCHAR END AS headline,
+           CASE WHEN doc_id % 9 <> 0
+                THEN strftime(TIMESTAMP '2024-01-01 00:00:00'
+                              + to_seconds(doc_id::BIGINT),
+                              '%Y-%m-%dT%H:%M:%SZ') END AS date_published,
+           CASE WHEN doc_id % 9 <> 0
+                THEN (doc_id % 997)::INT END AS word_count
+    FROM documents
+    """,
+)
+def p17_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """schema.org JSON-LD roundtrip: pack_jsonld_pages serializes an
+    Article block into each synthetic page (one in nine pages ships
+    without one), jsonld_extract parses raw HTML back with pure JVM
+    regexp_extract — the structured-data channel of an open-web index
+    (the reference parses only its two verticals' DOM).  The oracle
+    re-derives every field arithmetically, so serializer and parser
+    must agree byte-for-byte; the timestamp is built TZ-independently
+    (date arithmetic, not session-TZ date_format)."""
+    from bingcrawler_spark.functions import extract as EX
+
+    pages = EX.pack_jsonld_pages(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return EX.jsonld_extract(pages)
+
+
 _CACHE_OBS_SQL = """
   SELECT 'http://host' || (o_custkey % 50)::VARCHAR || '.example/o/'
            || o_orderkey::VARCHAR AS url,
@@ -3752,6 +3785,7 @@ _CHECK_FIRST = [
     "ts_vocab_growth",
     "s11_http_cache",
     "f16_shard_assign",
+    "p17_jsonld_extract",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

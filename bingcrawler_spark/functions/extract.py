@@ -118,3 +118,79 @@ def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
         return py_extract_links(bytes(b).decode("utf-8", "replace"), u)
 
     return pd.Series([one(b, u) for b, u in zip(html, url)])
+
+
+# ---------------------------------------------------- JSON-LD structured data
+
+
+def pack_jsonld_pages(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Serialize one synthetic article page per doc with an embedded
+    schema.org JSON-LD block (headline / datePublished / wordCount,
+    all closed-form in doc_id so the DuckDB oracle re-derives them
+    arithmetically).  Docs with doc_id % 9 == 0 ship WITHOUT the block
+    to exercise the no-structured-data arm.  Pure JVM string concat —
+    no Python in the serializer."""
+    did = F.col(id_col)
+    # ISO timestamp '2024-01-01T00:00:00Z' + doc_id seconds, built from
+    # DateType arithmetic + integer time-of-day so the result is
+    # independent of spark.sql.session.timeZone (date_format on a
+    # TIMESTAMP renders in session TZ; dates and modular ints do not).
+    day = F.date_add(F.lit("2024-01-01").cast("date"), (did / 86400).cast("int"))
+    secs = did % 86400
+    date_str = F.concat(
+        day.cast("string"),
+        F.lit("T"),
+        F.lpad((secs / 3600).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((secs % 3600) / 60).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((secs % 60).cast("string"), 2, "0"),
+        F.lit("Z"),
+    )
+    ld = F.concat(
+        F.lit('<script type="application/ld+json">{"@context":'
+              '"https://schema.org","@type":"Article","headline":"Doc '),
+        did.cast("string"),
+        F.lit('","datePublished":"'),
+        date_str,
+        F.lit('","wordCount":'),
+        (did % 997).cast("string"),
+        F.lit("}</script>"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "),
+        did.cast("string"),
+        F.lit("</title>"),
+        F.when(did % 9 == 0, F.lit("")).otherwise(ld),
+        F.lit("</head><body><p>"),
+        F.substring(F.col(text_col), 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(did.alias(id_col), html.alias("html"))
+
+
+def jsonld_extract(pages, html_col: str = "html", id_col: str = "doc_id"):
+    """Parse the schema.org JSON-LD block back out of raw HTML — the
+    structured-data channel modern crawl pipelines index alongside
+    body text (the reference parses only its two verticals' DOM,
+    BingAnalysisUtils.java; JSON-LD is the open-web generalization).
+    Whole extraction is JVM regexp_extract — no UDF, codegen-friendly,
+    and absent blocks yield typed NULLs rather than errors."""
+    block = F.regexp_extract(
+        F.col(html_col),
+        '<script type="application/ld\\+json">(.*?)</script>',
+        1,
+    )
+    df = pages.withColumn("_ld", block)
+    has = F.col("_ld") != ""
+
+    def _field(pat):
+        return F.when(has, F.nullif(F.regexp_extract("_ld", pat, 1), F.lit("")))
+
+    return df.select(
+        id_col,
+        has.cast("int").alias("has_ld"),
+        _field('"headline":"([^"]*)"').alias("headline"),
+        _field('"datePublished":"([^"]*)"').alias("date_published"),
+        _field('"wordCount":([0-9]+)').cast("int").alias("word_count"),
+    )

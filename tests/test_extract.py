@@ -80,3 +80,44 @@ def test_udf_invariant_and_links_match(spark):
         exp = py_extract_links(bytes(r["html"]).decode(), r["url"])
         assert list(r["links"]) == exp, r["url"]
     pages.unpersist()
+
+
+# ---------------------------------------------------- JSON-LD structured data
+
+
+def test_jsonld_roundtrip_and_absent_block(spark):
+    from bingcrawler_spark.functions import extract as EX
+
+    docs = spark.createDataFrame(
+        [(i, f"body text for {i}") for i in [0, 1, 9, 86400 + 3661]],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in EX.jsonld_extract(
+        EX.pack_jsonld_pages(docs)).collect()}
+    # doc 0 and 9: no block
+    for i in (0, 9):
+        r = got[i]
+        assert r["has_ld"] == 0 and r["headline"] is None
+        assert r["date_published"] is None and r["word_count"] is None
+    assert got[1]["has_ld"] == 1
+    assert got[1]["headline"] == "Doc 1"
+    assert got[1]["date_published"] == "2024-01-01T00:00:01Z"
+    assert got[1]["word_count"] == 1
+    # day + hour + minute + second rollover, all TZ-independent
+    assert got[86400 + 3661]["date_published"] == "2024-01-02T01:01:01Z"
+    assert got[86400 + 3661]["word_count"] == (86400 + 3661) % 997
+
+
+def test_jsonld_extract_tolerates_foreign_html(spark):
+    from bingcrawler_spark.functions import extract as EX
+
+    df = spark.createDataFrame(
+        [(1, "<html><body>no structured data here</body></html>"),
+         (2, '<script type="application/ld+json">{"@type":"Article",'
+             '"headline":"X"}</script>')],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: r for r in EX.jsonld_extract(df).collect()}
+    assert got[1]["has_ld"] == 0
+    assert got[2]["has_ld"] == 1 and got[2]["headline"] == "X"
+    assert got[2]["word_count"] is None  # field absent -> typed NULL

@@ -368,3 +368,62 @@ def search_gate(candidates: DataFrame, expected: DataFrame) -> DataFrame:
     return by_title.unionByName(by_author).dropDuplicates(
         ["cand_title", "exp_title"]
     )
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def funnel_stages(events: DataFrame, stages: list[str]) -> DataFrame:
+    """Strict-order funnel over the events stream: a user counts at
+    stage k only with an event of type stages[k] STRICTLY AFTER their
+    first stage-(k-1) event — the sessionized conversion analytic
+    (view -> click -> purchase) every web-analytics engine ships.
+
+    Scale shape: one groupBy(user_id) min-reduce per stage plus an
+    equi-join against the (|users|-sized) previous-stage relation; the
+    event log streams through each stage's filter once, and no window
+    over the full log exists.  Output is one integer row per stage."""
+    from functools import reduce
+
+    prev = (
+        events.where(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    outs = [
+        prev.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(stages[0]).alias("stage"), "n_users"
+        )
+    ]
+    for s in stages[1:]:
+        prev = (
+            events.where(F.col("event_type") == s)
+            .join(prev.select("user_id", "t"), "user_id")
+            .where(F.col("ts") > F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        outs.append(
+            prev.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+                F.lit(s).alias("stage"), "n_users"
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+def funnel_stages_sql(events_sql: str, stages: list[str]) -> str:
+    ctes = [
+        f"s0 AS (SELECT user_id, min(ts) AS t FROM ({events_sql})"
+        f" WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(stages[1:], start=1):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min(e.ts) AS t"
+            f" FROM ({events_sql}) e JOIN s{i - 1} p ON p.user_id = e.user_id"
+            f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+        )
+    sel = "\nUNION ALL ".join(
+        f"SELECT '{s}' AS stage, count(*)::BIGINT AS n_users FROM s{i}"
+        for i, s in enumerate(stages)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel

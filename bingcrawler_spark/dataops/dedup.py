@@ -888,3 +888,64 @@ def cdc_chunks_sql(
            count(*)::BIGINT AS n_occ
     FROM ch GROUP BY md5(chunk) HAVING count(*) >= 2
     """
+
+
+# ------------------------------------------------------ truncation families
+
+
+def prefix_families(
+    docs: DataFrame,
+    k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Truncation-duplicate families: documents sharing their first
+    ``k`` tokens — the pattern real crawls produce when the same page
+    is captured at different truncation lengths (CDN cutoffs, fetch
+    timeouts), which full-text exact dedup misses and MinHash only
+    catches above the Jaccard floor.  Docs shorter than k tokens are
+    out of scope (their prefix is the whole doc; exact dedup owns
+    them).
+
+    Scale shape: the family key is md5(first-k-tokens) computed in the
+    scan, so only (key, n_toks, id) rows shuffle; families are a plain
+    group-by with map-side combine."""
+    toks = X.tokens_col(F.col(text_col))
+    per = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_toks"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, k))).alias("prefix_md5"),
+    ).where(F.col("n_toks") >= k)
+    return (
+        per.groupBy("prefix_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_toks").alias("min_toks"),
+            F.max("n_toks").alias("max_toks"),
+        )
+        .where(F.col("n_docs") >= 2)
+        .select(
+            "prefix_md5",
+            "n_docs",
+            "min_toks",
+            "max_toks",
+            (F.col("min_toks") < F.col("max_toks")).cast("int").alias("truncated"),
+        )
+    )
+
+
+def prefix_families_sql(
+    docs_sql: str, k: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    toks = X.tokens_sql(text_col)
+    return f"""
+    WITH per AS (
+      SELECT {id_col}, len({toks})::BIGINT AS n_toks,
+             md5(array_to_string(({toks})[1:{k}], ' ')) AS prefix_md5
+      FROM ({docs_sql})
+      WHERE len({toks}) >= {k})
+    SELECT prefix_md5, count(*)::BIGINT AS n_docs,
+           min(n_toks)::BIGINT AS min_toks, max(n_toks)::BIGINT AS max_toks,
+           (min(n_toks) < max(n_toks))::INT AS truncated
+    FROM per GROUP BY prefix_md5 HAVING count(*) >= 2
+    """

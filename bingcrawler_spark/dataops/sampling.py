@@ -130,3 +130,71 @@ def stratified_topk_sql(
       FROM ({docs_sql})
     ) WHERE rk <= {k}
     """
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def seq_packing(
+    docs: DataFrame,
+    bin_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contiguous sequence packing for LM training: stream documents in
+    id order into fixed ``bin_tokens`` windows (a doc belongs to the bin
+    its first token lands in; long docs straddle, exactly like packed
+    pretraining batches with cross-doc attention masking).  Reports per
+    bin: n_docs, n_tokens, and integer fill per-mille.
+
+    Scale note: the running token offset is a global ordered cumsum —
+    Spark executes it as a range-partitioned sort + per-partition scan,
+    the same shape as any global ORDER BY write; there is no per-bin
+    data motion beyond the final |bins|-sized groupBy."""
+    from pyspark.sql.window import Window as W
+
+    n_tok = F.size(F.split(F.col(text_col), " "))
+    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    per = docs.select(
+        F.col(id_col), n_tok.cast("long").alias("n_tok")
+    ).withColumn("cum", F.sum("n_tok").over(w))
+    binned = per.select(
+        F.expr(f"div(cum - n_tok, {bin_tokens})").alias("bin"), "n_tok"
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "n_tokens",
+            F.expr(f"div(n_tokens * 1000, {bin_tokens})").alias("fill_pml"),
+        )
+    )
+
+
+def seq_packing_sql(
+    docs_sql: str,
+    bin_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    return f"""
+    WITH per AS (
+      SELECT {id_col},
+             len(string_split({text_col}, ' '))::BIGINT AS n_tok
+      FROM ({docs_sql})),
+    c AS (
+      SELECT {id_col}, n_tok,
+             sum(n_tok) OVER (ORDER BY {id_col}
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM per),
+    b AS (SELECT (cum - n_tok) // {bin_tokens} AS bin, n_tok FROM c)
+    SELECT bin::BIGINT AS bin, count(*)::BIGINT AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens,
+           (sum(n_tok) * 1000 // {bin_tokens})::BIGINT AS fill_pml
+    FROM b GROUP BY bin
+    """

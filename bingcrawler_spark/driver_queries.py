@@ -2347,6 +2347,72 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_STAGES = ["view", "click", "purchase"]
+
+
+@register(
+    "ev_funnel",
+    A.funnel_stages_sql(
+        "SELECT user_id, ts, event_type FROM events", _FUNNEL_STAGES
+    ),
+)
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-order conversion funnel (view -> click -> purchase): a
+    user reaches stage k only via an event strictly after their first
+    stage-(k-1) event.  One |users|-sized min-reduce + equi-join per
+    stage; no window over the event log."""
+    return A.funnel_stages(_t(spark, sf_dir, "events"), _FUNNEL_STAGES)
+
+
+@register("ds_seq_packing", DS.seq_packing_sql("SELECT doc_id, text FROM documents"))
+def ds_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous 2048-token sequence packing in doc order — the
+    batch-assembly step of LM pretraining (docs straddle bins exactly
+    like packed batches with cross-doc masking).  Global ordered cumsum
+    = range-partitioned sort; per-bin stats are integers."""
+    return DS.seq_packing(_t(spark, sf_dir, "documents"))
+
+
+_PFX_DOCS_SQL = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 600000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:40], ' ') AS text
+  FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@register("dd_prefix_family", DD.prefix_families_sql(_PFX_DOCS_SQL))
+def dd_prefix_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-duplicate families (same first-32-token prefix,
+    different lengths) — the CDN-cutoff/timeout capture pattern exact
+    dedup misses and MinHash drops below its Jaccard floor.  One in
+    eleven docs gets a planted 40-token truncated twin; only
+    (prefix_md5, n_toks, id) rows shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    trunc = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), " "), 1, 40)).alias(
+            "text"
+        ),
+    )
+    return DD.prefix_families(d.unionByName(trunc))
+
+
+_SNIPPET_TERMS = ["spark", "vector", "customer"]
+
+
+@register(
+    "ix_snippet_extract",
+    IX.snippet_extract_sql("SELECT doc_id, text FROM documents", _SNIPPET_TERMS),
+)
+def ix_snippet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERP snippet generation: first-hit position + ±3-token context
+    window per (doc, query term) — the rendering step downstream of
+    ix_bm25_search.  Literal term fan-out, JVM array ops, shuffle-free."""
+    return IX.snippet_extract(_t(spark, sf_dir, "documents"), _SNIPPET_TERMS)
+
+
 @register(
     "p17_jsonld_extract",
     """
@@ -3786,6 +3852,10 @@ _CHECK_FIRST = [
     "s11_http_cache",
     "f16_shard_assign",
     "p17_jsonld_extract",
+    "ev_funnel",
+    "ds_seq_packing",
+    "dd_prefix_family",
+    "ix_snippet_extract",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

@@ -245,3 +245,67 @@ def phrase_match_sql(from_docs: str, phrase: list[str]) -> str:
     FROM hits
     WHERE len(starts) > 0
     """
+
+
+# ---------------------------------------------------------------- snippets
+
+
+def snippet_extract(
+    docs: DataFrame,
+    terms: list[str],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Search-result snippet generation: for each (doc, query term)
+    hit, the first occurrence position and a ±``window``-token context
+    snippet — the SERP rendering step downstream of ix_bm25_search
+    (the reference renders raw stored text, CommonAnalysis report
+    writers; an index serves windows).
+
+    Scale shape: the term list is a tiny literal array exploded per
+    row (|terms| fan-out, no join), position and slice are JVM array
+    ops on the already-tokenized column — shuffle-free."""
+    toks = F.split(F.col(text_col), " ")
+    ex = docs.select(
+        F.col(id_col),
+        toks.alias("toks"),
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("term"),
+    ).withColumn("pos", F.expr("array_position(toks, term)"))
+    w = window
+    return (
+        ex.where(F.col("pos") > 0)
+        .select(
+            id_col,
+            "term",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr(
+                f"array_join(slice(toks, greatest(pos - {w}, 1),"
+                f" pos + {w} - greatest(pos - {w}, 1) + 1), ' ')"
+            ).alias("snippet"),
+        )
+    )
+
+
+def snippet_extract_sql(
+    docs_sql: str,
+    terms: list[str],
+    window: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    w = window
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, string_split({text_col}, ' ') AS toks
+      FROM ({docs_sql})),
+    ex AS (
+      SELECT {id_col}, toks, t.term,
+             list_position(toks, t.term) AS pos
+      FROM base, (VALUES {vals}) t(term))
+    SELECT {id_col}, term, pos::INT AS pos,
+           array_to_string(toks[greatest(pos - {w}, 1) : pos + {w}], ' ')
+             AS snippet
+    FROM ex WHERE coalesce(pos, 0) > 0
+    """

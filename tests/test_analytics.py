@@ -194,3 +194,29 @@ def test_r16_search_gate(spark, profiles, duck):
 def test_r14_counters(spark, profiles):
     out = {r.counter: r.value for r in A.counters(profiles).collect()}
     assert out["profiles"] == profiles.select("title").distinct().count()
+
+
+# ----------------------------------------------------------------- funnel
+
+
+def test_funnel_strict_order(spark):
+    from datetime import datetime as DT
+    from bingcrawler_spark import analytics as A
+
+    t = lambda s: DT(2024, 1, 1, 0, 0, s)  # noqa: E731
+    rows = [
+        # u1 converts fully in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # u2 clicks BEFORE viewing -> stops at view
+        (2, t(5), "click"), (2, t(6), "view"),
+        # u3 views only
+        (3, t(1), "view"),
+        # u4 purchase at the same ts as click -> strict > excludes it
+        (4, t(1), "view"), (4, t(2), "click"), (4, t(2), "purchase"),
+        # u5 never views -> counts nowhere
+        (5, t(1), "click"), (5, t(2), "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r["stage"]: r["n_users"]
+           for r in A.funnel_stages(df, ["view", "click", "purchase"]).collect()}
+    assert got == {"view": 4, "click": 2, "purchase": 1}

@@ -883,3 +883,39 @@ def test_vocab_growth_matches_duckdb_twin(spark, sf_dir):
         ).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------- sequence packing
+
+
+def test_seq_packing_bins_and_straddle(spark):
+    from bingcrawler_spark.dataops import sampling as DS
+
+    # 4-token bins; doc lengths 3, 3, 2: cum-before = 0, 3, 6
+    # -> bins 0, 0, 1; bin 0 holds 6 tokens (straddle), fill 1500 pml
+    df = spark.createDataFrame(
+        [(0, "a b c"), (1, "d e f"), (2, "g h")],
+        "doc_id long, text string",
+    )
+    got = {r["bin"]: (r["n_docs"], r["n_tokens"], r["fill_pml"])
+           for r in DS.seq_packing(df, bin_tokens=4).collect()}
+    assert got == {0: (2, 6, 1500), 1: (1, 2, 500)}
+
+
+# ------------------------------------------------------ truncation families
+
+
+def test_prefix_families_catches_truncation(spark):
+    base = " ".join(f"w{i}" for i in range(50))
+    rows = [
+        (0, base),                                  # full
+        (1, " ".join(base.split()[:40])),           # truncated twin
+        (2, "short doc below the k floor"),         # ineligible (<32 toks)
+        (3, " ".join(f"x{i}" for i in range(40))),  # lone long doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fams = DD.prefix_families(df, k=32).collect()
+    assert len(fams) == 1
+    f = fams[0]
+    assert f["n_docs"] == 2 and f["min_toks"] == 40 and f["max_toks"] == 50
+    assert f["truncated"] == 1

@@ -126,3 +126,25 @@ def test_phrase_match_three_terms_and_duckdb_twin(spark):
         ).fetchall()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------- snippets
+
+
+def test_snippet_window_and_edges(spark):
+    from bingcrawler_spark import indexing as IX
+
+    df = spark.createDataFrame(
+        [(0, "hit a b c d e f"),        # term at pos 1: left-clamped
+         (1, "a b c hit d e f"),        # centered
+         (2, "a b c d e f"),            # absent
+         (3, "a b c d e hit")],         # right-clamped
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["term"]): (r["pos"], r["snippet"])
+           for r in IX.snippet_extract(df, ["hit"]).collect()}
+    assert got == {
+        (0, "hit"): (1, "hit a b c"),
+        (1, "hit"): (4, "a b c hit d e f"),
+        (3, "hit"): (6, "c d e hit"),
+    }

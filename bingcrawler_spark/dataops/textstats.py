@@ -652,3 +652,67 @@ def vocab_growth_sql(
     UNION ALL SELECT 'rank_' || r::VARCHAR, cnt::BIGINT
       FROM rk WHERE r IN ({miles})
     """
+
+
+# ------------------------------------------------------- script detection
+
+_SCRIPTS = [
+    # (label, spark char-class, duckdb RE2 char-class)
+    ("latin", "a-zA-Z", "a-zA-Z"),
+    ("cyrillic", "\\u0400-\\u04FF", "\\x{0400}-\\x{04FF}"),
+    ("cjk", "\\u4E00-\\u9FFF", "\\x{4E00}-\\x{9FFF}"),
+    ("arabic", "\\u0600-\\u06FF", "\\x{0600}-\\x{06FF}"),
+]
+
+
+def script_detect(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unicode-script profile per document (latin/cyrillic/CJK/arabic
+    codepoint counts + argmax label) — the cheap router that runs BEFORE
+    n-gram language ID in a web pipeline (scripts partition languages
+    ~for free; ts_langid then separates within-script).  Counting is
+    length(text) - length(strip-class(text)): pure JVM regex, no
+    explode, shuffle-free."""
+    cols = [F.col(id_col)]
+    for label, spark_cls, _ in _SCRIPTS:
+        cols.append(
+            (
+                F.length(text_col)
+                - F.length(F.regexp_replace(F.col(text_col), f"[{spark_cls}]", ""))
+            )
+            .cast("long")
+            .alias(f"n_{label}")
+        )
+    out = docs.select(*cols)
+    # argmax with first-listed-wins tie-break (matches the SQL CASE chain)
+    best = F.lit(_SCRIPTS[0][0])
+    best_n = F.col(f"n_{_SCRIPTS[0][0]}")
+    for label, _, _ in _SCRIPTS[1:]:
+        cond = F.col(f"n_{label}") > best_n
+        best = F.when(cond, F.lit(label)).otherwise(best)
+        best_n = F.when(cond, F.col(f"n_{label}")).otherwise(best_n)
+    return out.withColumn("script", best)
+
+
+def script_detect_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    counts = ", ".join(
+        f"(length({text_col}) - length(regexp_replace({text_col},"
+        f" '[{duck_cls}]', '', 'g')))::BIGINT AS n_{label}"
+        for label, _, duck_cls in _SCRIPTS
+    )
+    # greatest-so-far CASE chain, first-listed wins ties
+    first = _SCRIPTS[0][0]
+    chain = f"'{first}'"
+    best = f"n_{first}"
+    for label, _, _ in _SCRIPTS[1:]:
+        chain = f"CASE WHEN n_{label} > {best} THEN '{label}' ELSE {chain} END"
+        best = f"greatest(n_{label}, {best})"
+    return f"""
+    WITH c AS (SELECT {id_col}, {counts} FROM ({docs_sql}))
+    SELECT {id_col}, n_latin, n_cyrillic, n_cjk, n_arabic,
+           {chain} AS script
+    FROM c
+    """

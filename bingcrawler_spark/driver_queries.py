@@ -2347,6 +2347,76 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CYR = " привет мир"
+_CJK = " 你好世界"
+_ARA = " مرحبا بالعالم"
+_SCRIPT_DOCS_SQL = f"""
+  SELECT doc_id, text ||
+    CASE doc_id % 4
+      WHEN 1 THEN repeat('{_CYR}', 80)
+      WHEN 2 THEN repeat('{_CJK}', 80)
+      WHEN 3 THEN repeat('{_ARA}', 80)
+      ELSE '' END AS text
+  FROM documents
+"""
+
+
+@register("ts_script_detect", TS.script_detect_sql(_SCRIPT_DOCS_SQL))
+def ts_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script routing (latin/cyrillic/CJK/arabic codepoint
+    counts + argmax label) — the pre-langid triage of a multilingual
+    crawl.  Three of four docs get a planted non-latin block so every
+    label arm fires; counting is regex strip-length, shuffle-free."""
+    d = _t(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 4 == 1, F.repeat(F.lit(_CYR), 80))
+        .when(F.col("doc_id") % 4 == 2, F.repeat(F.lit(_CJK), 80))
+        .when(F.col("doc_id") % 4 == 3, F.repeat(F.lit(_ARA), 80))
+        .otherwise(F.lit(""))
+    )
+    return TS.script_detect(
+        d.select("doc_id", F.concat(F.col("text"), tail).alias("text"))
+    )
+
+
+_MIME_PAGES_SQL = """
+  SELECT doc_id,
+         encode(CASE doc_id % 6
+                  WHEN 0 THEN '%PDF-1.7' || chr(10)
+                  WHEN 1 THEN 'GIF89a'
+                  WHEN 2 THEN 'PK' || chr(3) || chr(4)
+                  WHEN 3 THEN '<!DOCTYPE html>'
+                  WHEN 4 THEN '<?xml version="1.0"?>'
+                  ELSE '' END || substr(text, 1, 50)) AS payload
+  FROM documents
+"""
+
+
+@register("s12_mime_sniff", WARC.mime_sniff_sql(_MIME_PAGES_SQL))
+def s12_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-number MIME sniffing over opaque payload bytes (PDF / GIF /
+    zip / HTML / XML / plain) — byte-level content-type triage before
+    parser routing, because real servers lie in Content-Type.  Pure
+    hex-prefix CASE arms on the binary column."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id") % 6
+    prefix = (
+        F.when(k == 0, F.lit("%PDF-1.7\n"))
+        .when(k == 1, F.lit("GIF89a"))
+        .when(k == 2, F.lit("PK\x03\x04"))
+        .when(k == 3, F.lit("<!DOCTYPE html>"))
+        .when(k == 4, F.lit('<?xml version="1.0"?>'))
+        .otherwise(F.lit(""))
+    )
+    pages = d.select(
+        "doc_id",
+        F.encode(
+            F.concat(prefix, F.substring(F.col("text"), 1, 50)), "UTF-8"
+        ).alias("payload"),
+    )
+    return WARC.mime_sniff(pages)
+
+
 _FUNNEL_STAGES = ["view", "click", "purchase"]
 
 
@@ -3856,6 +3926,8 @@ _CHECK_FIRST = [
     "ds_seq_packing",
     "dd_prefix_family",
     "ix_snippet_extract",
+    "ts_script_detect",
+    "s12_mime_sniff",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

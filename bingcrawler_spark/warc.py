@@ -228,3 +228,54 @@ def read_warc_dir(spark, path: str) -> DataFrame:
     same splitter that parses synthetic blobs."""
     files = spark.read.format("binaryFile").load(path)
     return parse_warc_blobs(files.select(F.col("content").alias("blob")))
+
+
+# -------------------------------------------------------------- MIME sniff
+
+# ASCII-only magics so UTF-8 encode() yields identical bytes in both
+# engines (multi-byte magic like PNG's \\x89 would re-encode differently
+# than the on-wire byte).
+_MAGICS = [
+    ("application/pdf", "%PDF-"),
+    ("image/gif", "GIF89a"),
+    ("application/zip", "PK\x03\x04"),
+    ("text/html", "<!DOCTYPE"),
+    ("application/xml", "<?xml"),
+]
+
+
+def mime_sniff(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-number MIME sniffing over opaque fetched bytes — the
+    content-type triage a fetcher runs BEFORE routing to parsers (the
+    reference trusts the server's Content-Type header and its two
+    verticals; real crawls meet lying servers, so sniff bytes).  The
+    whole classifier is hex-prefix CASE arms on the binary column:
+    JVM-side, shuffle-free, no decode of the payload body."""
+    h = F.hex(F.col(payload_col))
+    expr = F.lit("text/plain")
+    for mime, magic in reversed(_MAGICS):
+        mh = magic.encode("utf-8").hex().upper()
+        expr = F.when(F.substring(h, 1, len(mh)) == mh, F.lit(mime)).otherwise(
+            expr
+        )
+    return pages.select(
+        *[c for c in pages.columns if c != payload_col],
+        expr.alias("mime"),
+        F.length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )
+
+
+def mime_sniff_sql(pages_sql: str, payload_col: str = "payload") -> str:
+    arms = []
+    for mime, magic in _MAGICS:
+        mh = magic.encode("utf-8").hex().upper()
+        arms.append(
+            f"WHEN substr(hex({payload_col}), 1, {len(mh)}) = '{mh}'"
+            f" THEN '{mime}'"
+        )
+    case = "CASE " + " ".join(arms) + " ELSE 'text/plain' END"
+    return f"""
+    SELECT * EXCLUDE ({payload_col}), {case} AS mime,
+           octet_length({payload_col})::BIGINT AS n_bytes
+    FROM ({pages_sql})
+    """

@@ -919,3 +919,25 @@ def test_prefix_families_catches_truncation(spark):
     f = fams[0]
     assert f["n_docs"] == 2 and f["min_toks"] == 40 and f["max_toks"] == 50
     assert f["truncated"] == 1
+
+
+# ------------------------------------------------------- script detection
+
+
+def test_script_detect_labels_and_tiebreak(spark):
+    rows = [
+        (0, "hello plain english"),
+        (1, "привет мир это тест приветствия"),
+        (2, "你好世界这是一个测试"),
+        (3, "مرحبا بالعالم هذا اختبار"),
+        (4, "ab яб"),  # 2 latin vs 2 cyrillic -> first-listed (latin) wins
+        (5, "12345 !!!"),  # no script chars at all -> all zero -> latin
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in TS.script_detect(df).collect()}
+    assert got[0]["script"] == "latin" and got[0]["n_latin"] == 17
+    assert got[1]["script"] == "cyrillic" and got[1]["n_latin"] == 0
+    assert got[2]["script"] == "cjk" and got[2]["n_cjk"] == 10
+    assert got[3]["script"] == "arabic"
+    assert got[4]["script"] == "latin"
+    assert got[5]["script"] == "latin" and got[5]["n_latin"] == 0

@@ -99,3 +99,30 @@ def test_read_warc_dir_binary_files(spark, sf_dir, tmp_path):
         "body_md5",
     }
     assert out.where("http_status != 200").count() == 0
+
+
+# -------------------------------------------------------------- MIME sniff
+
+
+def test_mime_sniff_magics(spark):
+    from bingcrawler_spark import warc as WARC
+
+    rows = [
+        (0, b"%PDF-1.7\nxx"),
+        (1, b"GIF89a...."),
+        (2, b"PK\x03\x04zipdata"),
+        (3, b"<!DOCTYPE html><html>"),
+        (4, b'<?xml version="1.0"?><r/>'),
+        (5, b"just some text"),
+        (6, b"GIF89"),  # truncated magic -> plain
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: (r["mime"], r["n_bytes"])
+           for r in WARC.mime_sniff(df).collect()}
+    assert got[0] == ("application/pdf", 11)
+    assert got[1][0] == "image/gif"
+    assert got[2][0] == "application/zip"
+    assert got[3][0] == "text/html"
+    assert got[4][0] == "application/xml"
+    assert got[5][0] == "text/plain"
+    assert got[6][0] == "text/plain"

@@ -949,3 +949,125 @@ def prefix_families_sql(
            (min(n_toks) < max(n_toks))::INT AS truncated
     FROM per GROUP BY prefix_md5 HAVING count(*) >= 2
     """
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Continuous-crawl dedup: triage a NEW batch against the existing
+    corpus without ever re-pairing the corpus with itself — the
+    steady-state shape of dedup at 100 TB, where the corpus is huge and
+    append-only and each day's batch is small.  Per batch doc:
+    ``exact_dup`` (md5 seen in corpus), ``band_hit`` (shares >= 1
+    MinHash band bucket with any corpus doc — the LSH candidate
+    signal), ``keep`` = neither.
+
+    Scale shape: corpus-side work is one scan producing 16-byte keys
+    and narrow band rows (both semi-join build sides); batch text never
+    shuffles; nothing is quadratic in corpus size."""
+    rows = k // bands
+
+    def _sig(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col).alias("doc"),
+                X.shingles_col(F.col(text_col)).alias("sh"),
+                F.md5(F.col(text_col)).alias("ck"),
+            )
+            .withColumn("hsh", F.transform("sh", X.h32_col))
+            .withColumn("sig", X.minhash_sig_from_hashes(F.col("hsh"), k))
+            .select("doc", "ck", "sig")
+        )
+
+    def _bands(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.slice(F.col("sig"), b * rows + 1, rows).cast(
+                            "array<long>"
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("band_idx", "band_val"),
+        )
+
+    csig = _sig(corpus).persist()
+    bsig = _sig(batch).persist()
+    ckeys = csig.select("ck").distinct().withColumn("exact_dup", F.lit(1))
+    ex = bsig.join(ckeys, "ck", "left").select(
+        "doc", F.coalesce("exact_dup", F.lit(0)).alias("exact_dup")
+    )
+    cb = _bands(csig).select("band_idx", "band_val").distinct()
+    hits = (
+        _bands(bsig)
+        .join(cb, ["band_idx", "band_val"], "left_semi")
+        .select("doc")
+        .distinct()
+        .withColumn("band_hit", F.lit(1))
+    )
+    return (
+        ex.join(hits, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("exact_dup").cast("int").alias("exact_dup"),
+            F.coalesce("band_hit", F.lit(0)).cast("int").alias("band_hit"),
+            (
+                (F.col("exact_dup") == 0)
+                & (F.coalesce("band_hit", F.lit(0)) == 0)
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
+def incremental_dedup_sql(
+    corpus_sql: str,
+    batch_sql: str,
+    k: int = 16,
+    bands: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    rows = k // bands
+    sig = X.minhash_sig_sql(X.shingles_sql(text_col), k)
+    return f"""
+    WITH csig AS MATERIALIZED (
+      SELECT {id_col} AS doc, md5({text_col}) AS ck, {sig} AS sig
+      FROM ({corpus_sql})),
+    bsig AS MATERIALIZED (
+      SELECT {id_col} AS doc, md5({text_col}) AS ck, {sig} AS sig
+      FROM ({batch_sql})),
+    bi AS (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx),
+    cb AS (
+      SELECT DISTINCT bi.band_idx,
+             sig[bi.band_idx * {rows} + 1 : bi.band_idx * {rows} + {rows}]
+               AS band_val
+      FROM csig, bi),
+    bb AS (
+      SELECT doc, bi.band_idx,
+             sig[bi.band_idx * {rows} + 1 : bi.band_idx * {rows} + {rows}]
+               AS band_val
+      FROM bsig, bi),
+    hits AS (
+      SELECT DISTINCT bb.doc FROM bb
+      JOIN cb ON cb.band_idx = bb.band_idx AND cb.band_val = bb.band_val),
+    ckeys AS (SELECT DISTINCT ck FROM csig)
+    SELECT b.doc AS {id_col},
+           (b.ck IN (SELECT ck FROM ckeys))::INT AS exact_dup,
+           (b.doc IN (SELECT doc FROM hits))::INT AS band_hit,
+           (b.ck NOT IN (SELECT ck FROM ckeys)
+            AND b.doc NOT IN (SELECT doc FROM hits))::INT AS keep
+    FROM bsig b
+    """

@@ -198,3 +198,91 @@ def seq_packing_sql(
            (sum(n_tok) * 1000 // {bin_tokens})::BIGINT AS fill_pml
     FROM b GROUP BY bin
     """
+
+
+# -------------------------------------------------------- upsample planning
+
+
+def upsample_plan(
+    docs: DataFrame,
+    targets: dict[str, int],
+    text_col: str = "text",
+    src_col: str = "source",
+) -> DataFrame:
+    """Mixture upsampling plan: given target proportions (ppm) per
+    source and the observed token mass, compute per-source repeat
+    factors ('epochs', e3 fixed point) normalized so the most
+    OVER-represented targeted source runs exactly 1 epoch — the data
+    recipe planning step (Llama/Gopher-style mixture tables) upstream
+    of ds_domain_mixture's row-level sampler.  All integer division in
+    a fixed order, so both engines agree to the last digit.
+
+    Scale shape: one per-source aggregate; the two scalars (total
+    tokens, min factor) broadcast back — nothing else moves."""
+    n_tok = F.size(F.split(F.col(text_col), " ")).cast("long")
+    per = docs.groupBy(src_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("tokens"),
+    )
+    tot = per.agg(F.sum("tokens").cast("long").alias("total"))
+    tgt = F.lit(0)
+    for s, ppm in targets.items():
+        tgt = F.when(F.col(src_col) == s, F.lit(ppm)).otherwise(tgt)
+    j = per.crossJoin(F.broadcast(tot)).select(
+        F.col(src_col).alias("source"),
+        "n_docs",
+        "tokens",
+        F.expr("div(tokens * 1000000, total)").alias("natural_ppm"),
+        tgt.cast("long").alias("target_ppm"),
+        "total",
+    )
+    j = j.withColumn(
+        "factor_e6", F.expr("div(target_ppm * total, tokens)")
+    ).drop("total")
+    minf = j.where(F.col("target_ppm") > 0).agg(
+        F.min("factor_e6").alias("minf")
+    )
+    return j.crossJoin(F.broadcast(minf)).select(
+        "source",
+        "n_docs",
+        "tokens",
+        "natural_ppm",
+        "target_ppm",
+        F.when(
+            F.col("target_ppm") > 0, F.expr("div(factor_e6 * 1000, minf)")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("epochs_e3"),
+    )
+
+
+def upsample_plan_sql(
+    docs_sql: str,
+    targets: dict[str, int],
+    text_col: str = "text",
+    src_col: str = "source",
+) -> str:
+    arms = " ".join(
+        f"WHEN '{s}' THEN {ppm}" for s, ppm in targets.items()
+    )
+    return f"""
+    WITH per AS (
+      SELECT {src_col} AS source, count(*)::BIGINT AS n_docs,
+             sum(len(string_split({text_col}, ' ')))::BIGINT AS tokens
+      FROM ({docs_sql}) GROUP BY {src_col}),
+    t AS (SELECT sum(tokens)::BIGINT AS total FROM per),
+    j AS (
+      SELECT source, n_docs, tokens,
+             (tokens * 1000000 // total)::BIGINT AS natural_ppm,
+             (CASE source {arms} ELSE 0 END)::BIGINT AS target_ppm,
+             ((CASE source {arms} ELSE 0 END) * total
+              // tokens)::BIGINT AS factor_e6
+      FROM per, t),
+    m AS (SELECT min(factor_e6)::BIGINT AS minf FROM j WHERE target_ppm > 0)
+    SELECT source, n_docs, tokens, natural_ppm, target_ppm,
+           (CASE WHEN target_ppm > 0
+                 THEN factor_e6 * 1000 // minf ELSE 0 END)::BIGINT
+             AS epochs_e3
+    FROM j, m
+    """

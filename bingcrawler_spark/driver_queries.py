@@ -2347,6 +2347,81 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ix_spell_candidates",
+    IX.spell_candidates_sql("SELECT doc_id, text FROM documents"),
+)
+def ix_spell_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed SymSpell 'did you mean': vocab and derived typo
+    queries (3rd char dropped from every length>=6 vocab word) both
+    expand to deletion-1 variants, candidates come from ONE equi-join
+    on the shared variant — never a vocab x query cross product — then
+    exact Levenshtein <= 1 verify and frequency-ranked top-3."""
+    return IX.spell_candidates(_t(spark, sf_dir, "documents"))
+
+
+_INC_BATCH_SQL = """
+  SELECT doc_id + 700000 AS doc_id,
+         CASE doc_id % 13
+           WHEN 0 THEN text
+           WHEN 1 THEN text || ' zzz'
+           ELSE 'novel block ' || doc_id::VARCHAR
+                || ' entirely fresh content words here'
+         END AS text
+  FROM documents WHERE doc_id % 13 < 3
+"""
+
+
+@register(
+    "dd_incremental",
+    DD.incremental_dedup_sql(
+        "SELECT doc_id, text FROM documents", _INC_BATCH_SQL
+    ),
+)
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-crawl dedup triage: a derived daily batch (exact
+    clones, one-token-appended near-dups, fresh docs) checked against
+    the existing corpus via 16-byte md5 keys and MinHash band
+    semi-joins — corpus never re-paired with itself, batch text never
+    shuffled; the steady-state dedup shape at 100 TB."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id") % 13
+    batch = d.where(k < 3).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        F.when(k == 0, F.col("text"))
+        .when(k == 1, F.concat(F.col("text"), F.lit(" zzz")))
+        .otherwise(
+            F.concat(
+                F.lit("novel block "),
+                F.col("doc_id").cast("string"),
+                F.lit(" entirely fresh content words here"),
+            )
+        )
+        .alias("text"),
+    )
+    return DD.incremental_dedup(d, batch)
+
+
+_UPSAMPLE_TARGETS = {"src0": 500000, "src1": 250000, "src2": 150000, "src3": 100000}
+
+
+@register(
+    "ds_upsample_plan",
+    DS.upsample_plan_sql(
+        "SELECT text, source FROM documents", _UPSAMPLE_TARGETS
+    ),
+)
+def ds_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture recipe planning: per-source token mass -> integer epoch
+    factors (e3) normalized so the most over-represented targeted
+    source runs exactly 1 epoch — the Gopher/Llama data-mixture table
+    upstream of ds_domain_mixture's row sampler.  One per-source
+    aggregate + two broadcast scalars."""
+    return DS.upsample_plan(
+        _t(spark, sf_dir, "documents"), _UPSAMPLE_TARGETS
+    )
+
+
 _CYR = " привет мир"
 _CJK = " 你好世界"
 _ARA = " مرحبا بالعالم"
@@ -3928,6 +4003,9 @@ _CHECK_FIRST = [
     "ix_snippet_extract",
     "ts_script_detect",
     "s12_mime_sniff",
+    "ix_spell_candidates",
+    "dd_incremental",
+    "ds_upsample_plan",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

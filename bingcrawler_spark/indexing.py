@@ -309,3 +309,122 @@ def snippet_extract_sql(
              AS snippet
     FROM ex WHERE coalesce(pos, 0) > 0
     """
+
+
+# ------------------------------------------------------- spell candidates
+
+
+def spell_candidates(
+    docs: DataFrame,
+    min_len: int = 5,
+    min_freq: int = 3,
+    topk: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """SymSpell-style distributed spell correction: vocabulary words and
+    query terms both expand to their deletion-1 variants, candidates come
+    from an equi-join on the shared variant (never a vocab x query cross
+    product), and survivors are verified with exact Levenshtein <= 1 and
+    ranked by corpus frequency.  Queries are derived typos (drop the 3rd
+    char of every length>=6 vocab word), so both engines rebuild the
+    identical workload from the corpus alone.
+
+    Scale shape: |vocab| x (len+1) variant rows on each side of one
+    equi-join; the corpus itself contributes only the token-count
+    group-by.  This is the search-index 'did you mean' stage."""
+    toks = F.split(F.col(text_col), " ")
+    vocab = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where((F.length("w") >= min_len) & (F.col("freq") >= min_freq))
+        .persist()
+    )
+    deletes = F.expr(
+        "concat(array(w), transform(sequence(1, length(w)),"
+        " i -> concat(substr(w, 1, i - 1), substr(w, i + 1, length(w)))))"
+    )
+    vvar = vocab.select(
+        F.col("w").alias("cand"), "freq", F.explode(deletes).alias("variant")
+    )
+    queries = (
+        vocab.where(F.length("w") >= 6)
+        .select(
+            F.concat(F.expr("substr(w, 1, 2)"), F.expr("substr(w, 4, length(w))"))
+            .alias("query")
+        )
+        .distinct()
+    )
+    qvar = queries.select(
+        "query",
+        F.explode(
+            F.expr(
+                "concat(array(query), transform(sequence(1, length(query)),"
+                " i -> concat(substr(query, 1, i - 1),"
+                " substr(query, i + 1, length(query)))))"
+            )
+        ).alias("variant"),
+    )
+    cand = (
+        qvar.join(vvar, "variant")
+        .select("query", "cand", "freq")
+        .distinct()
+        .withColumn("dist", F.levenshtein("query", "cand"))
+        .where(F.col("dist") <= 1)
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("query").orderBy(F.col("freq").desc(), F.col("cand").asc())
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select(
+            "query",
+            F.col("rank").cast("int").alias("rank"),
+            "cand",
+            F.col("dist").cast("int").alias("dist"),
+            F.col("freq").cast("long").alias("freq"),
+        )
+    )
+
+
+def spell_candidates_sql(
+    docs_sql: str,
+    min_len: int = 5,
+    min_freq: int = 3,
+    topk: int = 3,
+    text_col: str = "text",
+) -> str:
+    dele = (
+        "list_concat([{w}], list_transform(range(1, len({w}) + 1),"
+        " i -> substr({w}, 1, i - 1) || substr({w}, i + 1, len({w}))))"
+    )
+    return f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT w, count(*)::BIGINT AS freq
+      FROM (SELECT unnest(string_split({text_col}, ' ')) AS w
+            FROM ({docs_sql}))
+      GROUP BY w
+      HAVING length(w) >= {min_len} AND count(*) >= {min_freq}),
+    vvar AS (
+      SELECT w AS cand, freq, unnest({dele.format(w="w")}) AS variant
+      FROM vocab),
+    queries AS (
+      SELECT DISTINCT substr(w, 1, 2) || substr(w, 4, len(w)) AS query
+      FROM vocab WHERE length(w) >= 6),
+    qvar AS (
+      SELECT query, unnest({dele.format(w="query")}) AS variant
+      FROM queries),
+    cand AS (
+      SELECT DISTINCT query, cand, freq,
+             levenshtein(query, cand) AS dist
+      FROM qvar JOIN vvar USING (variant)
+      WHERE levenshtein(query, cand) <= 1),
+    r AS (
+      SELECT query, cand, dist, freq,
+             row_number() OVER (PARTITION BY query
+                                ORDER BY freq DESC, cand ASC) AS rank
+      FROM cand)
+    SELECT query, rank::INT AS rank, cand, dist::INT AS dist, freq
+    FROM r WHERE rank <= {topk}
+    """

@@ -941,3 +941,55 @@ def test_script_detect_labels_and_tiebreak(spark):
     assert got[3]["script"] == "arabic"
     assert got[4]["script"] == "latin"
     assert got[5]["script"] == "latin" and got[5]["n_latin"] == 0
+
+
+# ------------------------------------------------------ incremental dedup
+
+
+def test_incremental_dedup_flags(spark):
+    corpus = spark.createDataFrame(
+        [(i, f"shared prefix words alpha beta gamma delta epsilon zeta eta "
+             f"theta unique{i} iota kappa")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    rows = corpus.collect()
+    batch = spark.createDataFrame(
+        [
+            (100, rows[0]["text"]),            # exact clone
+            (101, rows[1]["text"] + " zzz"),   # near-dup (band hit, not exact)
+            (102, "totally different content with no overlap at all " * 3),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in DD.incremental_dedup(corpus, batch).collect()}
+    assert got[100]["exact_dup"] == 1 and got[100]["keep"] == 0
+    assert got[100]["band_hit"] == 1  # identical sig shares every band
+    assert got[101]["exact_dup"] == 0 and got[101]["band_hit"] == 1
+    assert got[101]["keep"] == 0
+    assert got[102]["exact_dup"] == 0 and got[102]["keep"] == (
+        1 - got[102]["band_hit"]
+    )
+
+
+# -------------------------------------------------------- upsample planning
+
+
+def test_upsample_plan_hand_math(spark):
+    from bingcrawler_spark.dataops import sampling as DS
+
+    # src a: 60 tokens, src b: 30, src c: 10 -> total 100
+    rows = (
+        [(i, " ".join(["w"] * 6), "a") for i in range(10)]
+        + [(i + 10, " ".join(["w"] * 6), "b") for i in range(5)]
+        + [(20, " ".join(["w"] * 10), "c")]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in DS.upsample_plan(
+        df, {"a": 500000, "b": 400000, "c": 100000}).collect()}
+    assert got["a"]["natural_ppm"] == 600000
+    # factors: a = .5*100/60 e6 = 833333, b = .4*100/30 = 1333333,
+    # c = .1*100/10 = 1000000; min = a -> epochs a=1000, b=1600, c=1200
+    assert got["a"]["epochs_e3"] == 1000
+    assert got["b"]["epochs_e3"] == 1333333 * 1000 // 833333
+    assert got["c"]["epochs_e3"] == 1000000 * 1000 // 833333

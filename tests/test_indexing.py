@@ -148,3 +148,26 @@ def test_snippet_window_and_edges(spark):
         (1, "hit"): (4, "a b c hit d e f"),
         (3, "hit"): (6, "c d e hit"),
     }
+
+
+# ------------------------------------------------------- spell candidates
+
+
+def test_spell_candidates_rank_and_verify(spark):
+    from bingcrawler_spark import indexing as IX
+
+    # vocab: 'window' x6, 'winnow' x3, 'query' x3 (len 5, too short to
+    # spawn a typo but a valid candidate), 'of' (too short for vocab)
+    text = " ".join(["window"] * 6 + ["winnow"] * 3 + ["query"] * 3 + ["of"] * 9)
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    got = {}
+    for r in IX.spell_candidates(df).collect():
+        got.setdefault(r["query"], []).append(
+            (r["rank"], r["cand"], r["dist"], r["freq"])
+        )
+    # typo of 'window' -> 'widow'; 'winnow' -> 'winow'
+    # 'widow': deletes share with 'window' (dist 1); 'winnow' is dist 2
+    #   -> verify kills it
+    assert got["widow"] == [(1, "window", 1, 6)]
+    # 'winow' is deletion-1 of BOTH window and winnow: freq ranks window first
+    assert got["winow"] == [(1, "window", 1, 6), (2, "winnow", 1, 3)]

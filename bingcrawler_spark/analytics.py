@@ -427,3 +427,127 @@ def funnel_stages_sql(events_sql: str, stages: list[str]) -> str:
         for i, s in enumerate(stages)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+# -------------------------------------------------------------- retention
+
+
+def retention_matrix(events: DataFrame, epoch: str = "2024-01-01") -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted on
+    each later activity day — the (cohort_day, day_offset, n_users)
+    triangle every product-analytics stack renders.  Day indexes are
+    integer deltas from a fixed epoch date, so the output is
+    engine-exact with no timestamp formatting anywhere.
+
+    Scale shape: distinct (user, day) first (map-side dedup), one
+    |users|-sized min-reduce for cohorts, one equi-join back, and a
+    (cohort, offset)-keyed count — the event log never joins itself."""
+    day = F.datediff(F.to_date("ts"), F.lit(epoch).cast("date"))
+    ud = events.select("user_id", day.alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("cohort_day").cast("int").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+            "n_users",
+        )
+    )
+
+
+def retention_matrix_sql(events_sql: str, epoch: str = "2024-01-01") -> str:
+    return f"""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '{epoch}', ts::DATE) AS day
+      FROM ({events_sql})),
+    c AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY user_id)
+    SELECT c.cohort_day::INT AS cohort_day,
+           (ud.day - c.cohort_day)::INT AS day_offset,
+           count(*)::BIGINT AS n_users
+    FROM ud JOIN c USING (user_id)
+    GROUP BY c.cohort_day, ud.day - c.cohort_day
+    """
+
+
+# --------------------------------------------------------- spike detection
+
+
+def error_spikes(
+    events: DataFrame,
+    kind: str = "error",
+    lookback: int = 24,
+    threshold_pct: int = 150,
+    min_prev: int = 6,
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """Trailing-window anomaly flags over hourly error counts: an hour
+    is a spike when its count exceeds threshold_pct% of the trailing
+    ``lookback``-hour mean (integer cross-multiplication — no float
+    mean), given at least ``min_prev`` observed prior hours.  The
+    window runs over the |hours|-sized aggregate, never the raw log."""
+    hour = (
+        F.datediff(F.to_date("ts"), F.lit(epoch).cast("date")) * 24
+        + F.hour("ts")
+    )
+    hc = (
+        events.where(F.col("event_type") == kind)
+        .groupBy(hour.alias("hour_idx"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_errors"))
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy("hour_idx").rowsBetween(-lookback, -1)
+    return (
+        hc.withColumn("prev_sum", F.coalesce(F.sum("n_errors").over(w), F.lit(0)))
+        .withColumn("prev_n", F.count("n_errors").over(w))
+        .select(
+            F.col("hour_idx").cast("int").alias("hour_idx"),
+            "n_errors",
+            F.col("prev_sum").cast("long").alias("prev_sum"),
+            F.col("prev_n").cast("int").alias("prev_n"),
+            (
+                (F.col("prev_n") >= min_prev)
+                & (
+                    F.col("n_errors") * F.col("prev_n") * 100
+                    > F.lit(threshold_pct) * F.col("prev_sum")
+                )
+            )
+            .cast("int")
+            .alias("spike"),
+        )
+    )
+
+
+def error_spikes_sql(
+    events_sql: str,
+    kind: str = "error",
+    lookback: int = 24,
+    threshold_pct: int = 150,
+    min_prev: int = 6,
+    epoch: str = "2024-01-01",
+) -> str:
+    return f"""
+    WITH hc AS (
+      SELECT (date_diff('day', DATE '{epoch}', ts::DATE) * 24
+              + extract(hour FROM ts))::BIGINT AS hour_idx,
+             count(*)::BIGINT AS n_errors
+      FROM ({events_sql}) WHERE event_type = '{kind}'
+      GROUP BY 1),
+    t AS (
+      SELECT hour_idx, n_errors,
+             coalesce(sum(n_errors) OVER (ORDER BY hour_idx
+               ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING), 0)
+               AS prev_sum,
+             count(n_errors) OVER (ORDER BY hour_idx
+               ROWS BETWEEN {lookback} PRECEDING AND 1 PRECEDING) AS prev_n
+      FROM hc)
+    SELECT hour_idx::INT AS hour_idx, n_errors,
+           prev_sum::BIGINT AS prev_sum, prev_n::INT AS prev_n,
+           (prev_n >= {min_prev}
+            AND n_errors * prev_n * 100 > {threshold_pct} * prev_sum)::INT
+             AS spike
+    FROM t
+    """

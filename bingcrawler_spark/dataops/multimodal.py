@@ -744,3 +744,56 @@ def image_neardup_sql(
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc < b.doc
     WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
     """
+
+
+# ------------------------------------------------------------ frame sample
+
+
+def frame_sample(
+    media: DataFrame,
+    every: int = 24,
+    header_bytes: int = 64,
+    frame_bytes: int = 1024,
+    fps: int = 24,
+) -> DataFrame:
+    """Video frame-sampling plumbing: expand each media row into the
+    (frame_idx, byte_offset, ts_ms) rows a decoder would seek to when
+    sampling every ``every``-th frame — the Spark-side half of a
+    frame-extraction pipeline (the codec half is honestly stubbed in
+    decode_media; offsets assume the fixed-size synthetic frame layout
+    pack_media documents).  One JVM sequence-explode per row: the
+    fan-out is n_frames/every, media bytes are never touched, so the
+    shuffle carries only (media_id, idx) pairs if a downstream group
+    needs them."""
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
+        ).alias("frame_idx"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.lit(header_bytes) + F.col("frame_idx") * frame_bytes)
+        .cast("long")
+        .alias("byte_offset"),
+        F.expr(f"div(frame_idx * 1000, {fps})").cast("long").alias("ts_ms"),
+    )
+
+
+def frame_sample_sql(
+    media_sql: str,
+    every: int = 24,
+    header_bytes: int = 64,
+    frame_bytes: int = 1024,
+    fps: int = 24,
+) -> str:
+    return f"""
+    WITH ex AS (
+      SELECT media_id,
+             unnest(range(0, n_frames, {every})) AS frame_idx
+      FROM ({media_sql}))
+    SELECT media_id, frame_idx::INT AS frame_idx,
+           ({header_bytes} + frame_idx * {frame_bytes})::BIGINT AS byte_offset,
+           (frame_idx * 1000 // {fps})::BIGINT AS ts_ms
+    FROM ex
+    """

@@ -2348,6 +2348,96 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_retention",
+    A.retention_matrix_sql("SELECT user_id, ts FROM events"),
+)
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle (first-seen day x activity-day offset
+    -> user counts) over integer day indexes — distinct (user, day),
+    one |users|-sized min-reduce, no log self-join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    return A.retention_matrix(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "ev_anomaly",
+    A.error_spikes_sql("SELECT ts, event_type FROM events"),
+)
+def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h error-spike flags over hourly counts: spike when
+    count exceeds 150% of the trailing mean by integer
+    cross-multiplication (no float mean); the window runs over the
+    |hours|-sized aggregate, never the raw log."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    return A.error_spikes(_t(spark, sf_dir, "events"))
+
+
+_CDX_CAPTURES_SQL = """
+  SELECT 'https://sub' || (doc_id % 5)::VARCHAR || '.host'
+           || (doc_id % 32)::VARCHAR || '.example/doc/'
+           || doc_id::VARCHAR AS url,
+         'sub' || (doc_id % 5)::VARCHAR || '.host'
+           || (doc_id % 32)::VARCHAR || '.example' AS host,
+         '/doc/' || doc_id::VARCHAR AS path,
+         (1704067200 + doc_id)::BIGINT AS ts_s,
+         md5(text) AS digest
+  FROM documents
+"""
+
+
+@register("src_cdx_surt", WARC.cdx_index_sql(_CDX_CAPTURES_SQL))
+def src_cdx_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX capture-index rows with SURT keys (host labels reversed and
+    comma-joined) — the sort-friendly layout the Wayback/pywb ecosystem
+    prefix-queries; subdomained derived hosts exercise the label
+    reversal.  Pure string/array expressions."""
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    host = F.concat(
+        F.lit("sub"),
+        (did % 5).cast("string"),
+        F.lit(".host"),
+        (did % 32).cast("string"),
+        F.lit(".example"),
+    )
+    path = F.concat(F.lit("/doc/"), did.cast("string"))
+    captures = d.select(
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        host.alias("host"),
+        path.alias("path"),
+        (F.lit(1704067200) + did).cast("long").alias("ts_s"),
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+    )
+    return WARC.cdx_index(captures)
+
+
+@register(
+    "mm_frame_sample",
+    MM.frame_sample_sql(
+        """
+        SELECT doc_id::BIGINT AS media_id,
+               (24 + doc_id % 240)::BIGINT AS n_frames
+        FROM documents WHERE doc_id % 3 = 2
+        """
+    ),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-24th-frame (1 Hz at 24 fps)
+    seek table — (frame_idx, byte_offset, ts_ms) per video row of the
+    media table, the Spark half of a frame-extraction pipeline (codec
+    half honestly stubbed).  JVM sequence-explode; bytes never touched."""
+    media = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 3 == 2)
+        .select(
+            F.col("doc_id").cast("long").alias("media_id"),
+            (F.lit(24) + F.col("doc_id") % 240).cast("long").alias("n_frames"),
+        )
+    )
+    return MM.frame_sample(media)
+
+
+@register(
     "ix_spell_candidates",
     IX.spell_candidates_sql("SELECT doc_id, text FROM documents"),
 )
@@ -4006,6 +4096,10 @@ _CHECK_FIRST = [
     "ix_spell_candidates",
     "dd_incremental",
     "ds_upsample_plan",
+    "ev_retention",
+    "ev_anomaly",
+    "src_cdx_surt",
+    "mm_frame_sample",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

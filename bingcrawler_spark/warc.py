@@ -279,3 +279,36 @@ def mime_sniff_sql(pages_sql: str, payload_col: str = "payload") -> str:
            octet_length({payload_col})::BIGINT AS n_bytes
     FROM ({pages_sql})
     """
+
+
+# ---------------------------------------------------------------- CDX/SURT
+
+
+def cdx_index(captures: DataFrame) -> DataFrame:
+    """CDX-style capture index rows with SURT keys (Sort-friendly URL
+    Reordering Transform: host labels reversed and comma-joined, so one
+    sorted file clusters every capture of a domain and its subdomains
+    together — the layout the Wayback/pywb ecosystem queries by prefix).
+    Input: (url, host, path, ts_s, digest); output adds ``surt``.
+    Pure string/array expressions, shuffle-free; the sort itself is the
+    consumer's write-time ORDER BY."""
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(F.col("host"), "\\.")), ","),
+        F.lit(")"),
+        F.col("path"),
+    )
+    return captures.select(
+        surt.alias("surt"),
+        "url",
+        F.col("ts_s").cast("long").alias("ts_s"),
+        "digest",
+    )
+
+
+def cdx_index_sql(captures_sql: str) -> str:
+    return f"""
+    SELECT array_to_string(list_reverse(string_split(host, '.')), ',')
+             || ')' || path AS surt,
+           url, ts_s::BIGINT AS ts_s, digest
+    FROM ({captures_sql})
+    """

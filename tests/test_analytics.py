@@ -220,3 +220,45 @@ def test_funnel_strict_order(spark):
     got = {r["stage"]: r["n_users"]
            for r in A.funnel_stages(df, ["view", "click", "purchase"]).collect()}
     assert got == {"view": 4, "click": 2, "purchase": 1}
+
+
+# -------------------------------------------------------------- retention
+
+
+def test_retention_matrix_hand(spark):
+    from datetime import datetime as DT
+    from bingcrawler_spark import analytics as A
+
+    rows = [
+        (1, DT(2024, 1, 1, 5)), (1, DT(2024, 1, 1, 9)),  # same day dedups
+        (1, DT(2024, 1, 3, 1)),
+        (2, DT(2024, 1, 2, 0)), (2, DT(2024, 1, 3, 0)),
+        (3, DT(2024, 1, 1, 0)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in A.retention_matrix(df).collect()}
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+# --------------------------------------------------------- spike detection
+
+
+def test_error_spikes_integer_threshold(spark):
+    from datetime import datetime as DT
+    from bingcrawler_spark import analytics as A
+
+    rows = []
+    # hours 0..7: 10 errors each; hour 8: 20 (spike); hour 9: 12 (not)
+    for h, n in [(i, 10) for i in range(8)] + [(8, 20), (9, 12)]:
+        rows += [(DT(2024, 1, 1, h, 0, s), "error") for s in range(n)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = {r["hour_idx"]: r for r in A.error_spikes(df).collect()}
+    assert got[0]["spike"] == 0 and got[0]["prev_n"] == 0
+    # hour 5 has only 5 prior hours -> below min_prev, never a spike
+    assert got[5]["prev_n"] == 5 and got[5]["spike"] == 0
+    # hour 8: 20 * 8 * 100 = 16000 > 150 * 80 = 12000 -> spike
+    assert got[8]["prev_n"] == 8 and got[8]["spike"] == 1
+    # hour 9: prev includes the spike (sum 90, n 9):
+    # 12 * 9 * 100 = 10800 <= 150 * 90 = 13500 -> calm
+    assert got[9]["spike"] == 0

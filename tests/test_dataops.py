@@ -993,3 +993,24 @@ def test_upsample_plan_hand_math(spark):
     assert got["a"]["epochs_e3"] == 1000
     assert got["b"]["epochs_e3"] == 1333333 * 1000 // 833333
     assert got["c"]["epochs_e3"] == 1000000 * 1000 // 833333
+
+
+# ------------------------------------------------------------ frame sample
+
+
+def test_frame_sample_offsets(spark):
+    df = spark.createDataFrame(
+        [(7, 50), (8, 24), (9, 1)], "media_id long, n_frames long"
+    )
+    got = {}
+    for r in MM.frame_sample(df, every=24).collect():
+        got.setdefault(r["media_id"], []).append(
+            (r["frame_idx"], r["byte_offset"], r["ts_ms"])
+        )
+    assert got[7] == [
+        (0, 64, 0),
+        (24, 64 + 24 * 1024, 1000),
+        (48, 64 + 48 * 1024, 2000),
+    ]
+    assert got[8] == [(0, 64, 0)]
+    assert got[9] == [(0, 64, 0)]

@@ -126,3 +126,19 @@ def test_mime_sniff_magics(spark):
     assert got[4][0] == "application/xml"
     assert got[5][0] == "text/plain"
     assert got[6][0] == "text/plain"
+
+
+# ---------------------------------------------------------------- CDX/SURT
+
+
+def test_cdx_surt_reverses_host_labels(spark):
+    from bingcrawler_spark import warc as WARC
+
+    df = spark.createDataFrame(
+        [("https://a.b.example.com/x/y", "a.b.example.com", "/x/y", 5, "d1"),
+         ("http://example.org/", "example.org", "/", 6, "d2")],
+        "url string, host string, path string, ts_s long, digest string",
+    )
+    got = {r["url"]: r["surt"] for r in WARC.cdx_index(df).collect()}
+    assert got["https://a.b.example.com/x/y"] == "com,example,b,a)/x/y"
+    assert got["http://example.org/"] == "org,example)/"

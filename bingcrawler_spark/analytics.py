@@ -551,3 +551,58 @@ def error_spikes_sql(
              AS spike
     FROM t
     """
+
+
+# --------------------------------------------------------------- as-of join
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "key",
+    ts: str = "ts",
+    val: str = "val",
+    left_id: str = "event_id",
+) -> DataFrame:
+    """Distributed AS-OF join: each left row picks the latest right row
+    with right.ts <= left.ts per key — the time-series join Spark has no
+    native operator for (DuckDB/kdb/Pandas ship one; the oracle uses
+    DuckDB's native ASOF JOIN, so the two implementations share zero
+    code).  Implemented the scale-correct way: tag both streams, UNION,
+    one window per key ordered by (ts, side) with a carry-forward
+    last(ignorenulls) — a single shuffle on the key, no range
+    explosion, no per-row subquery.  At equal timestamps the right row
+    sorts first, so a quote AT the event instant is visible (<=
+    semantics).  Right-side (key, ts) pairs must be unique — the
+    caller's contract, as in any as-of engine."""
+    from pyspark.sql.window import Window as W
+
+    l = left.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        F.col(left_id),
+        F.lit(None).cast("long").alias("_v"),
+        F.lit(1).alias("_side"),
+    )
+    r = right.select(
+        F.col(key).alias("k"),
+        F.col(ts).alias("t"),
+        F.lit(None).cast("long").alias(left_id),
+        F.col(val).cast("long").alias("_v"),
+        F.lit(0).alias("_side"),
+    )
+    w = (
+        W.partitionBy("k")
+        .orderBy(F.col("t").asc(), F.col("_side").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        l.unionByName(r)
+        .withColumn("asof_val", F.last("_v", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+        .select(
+            left_id,
+            F.col("k").alias(key),
+            F.col("asof_val").alias("asof_val"),
+        )
+    )

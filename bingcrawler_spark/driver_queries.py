@@ -2348,6 +2348,79 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ev_asof_join",
+    """
+    WITH quotes AS (
+      SELECT o_custkey % 50 AS key,
+             TIMESTAMP '2024-01-01 00:00:00'
+               + to_seconds(o_orderkey::BIGINT) AS ts,
+             (o_orderkey % 100000)::BIGINT AS price_cents
+      FROM orders),
+    ev AS (SELECT event_id, user_id % 50 AS key, ts FROM events)
+    SELECT ev.event_id, ev.key, q.price_cents AS asof_val
+    FROM ev ASOF LEFT JOIN quotes q
+      ON ev.key = q.key AND ev.ts >= q.ts
+    """,
+)
+def ev_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (latest quote at-or-before each event, per key) — the
+    time-series join Spark lacks natively, built the scale-correct way:
+    tag + union + one keyed window with carry-forward last(ignorenulls)
+    — a single shuffle, no range explosion.  The oracle is DuckDB's
+    NATIVE ASOF JOIN, so the implementations share zero code."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")  # NTZ ≡ UTC epoch
+    o = _t(spark, sf_dir, "orders")
+    quotes = o.select(
+        (F.col("o_custkey") % 50).alias("key"),
+        F.timestamp_seconds(
+            F.lit(1704067200).cast("long") + F.col("o_orderkey")
+        ).alias("ts"),
+        (F.col("o_orderkey") % 100000).cast("long").alias("price_cents"),
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", (F.col("user_id") % 50).alias("key"), "ts"
+    )
+    return A.asof_join(ev, quotes, val="price_cents")
+
+
+_SLOTS_FRONTIER_SQL = """
+  SELECT 'http://host' || (c_custkey % 40)::VARCHAR || '.example/c/'
+           || c_custkey::VARCHAR AS url,
+         'host' || (c_custkey % 40)::VARCHAR || '.example' AS host,
+         (90 + c_custkey % 21)::INT AS weight,
+         CASE WHEN c_custkey % 40 % 5 = 0 THEN 2000::BIGINT END
+           AS crawl_delay_ms
+  FROM customer
+"""
+
+
+@register("f17_fetch_slots", FR.fetch_slots_sql(_SLOTS_FRONTIER_SQL))
+def f17_fetch_slots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness schedule materialization: pop-ordered per-host slots
+    -> concrete fetch timestamps (md5 host stagger + slot x crawl-delay,
+    robots Crawl-delay hosts at 2 s) so a fetcher fleet runs the wave
+    coordination-free.  One host-keyed window, same shape as pop_wave."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    fr = c.select(
+        F.concat(
+            F.lit("http://host"),
+            (k % 40).cast("string"),
+            F.lit(".example/c/"),
+            k.cast("string"),
+        ).alias("url"),
+        F.concat(F.lit("host"), (k % 40).cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (F.lit(90) + k % 21).cast("int").alias("weight"),
+        F.when((k % 40) % 5 == 0, F.lit(2000).cast("long")).alias(
+            "crawl_delay_ms"
+        ),
+    )
+    return FR.fetch_slots(fr)
+
+
+@register(
     "ev_retention",
     A.retention_matrix_sql("SELECT user_id, ts FROM events"),
 )
@@ -4100,6 +4173,8 @@ _CHECK_FIRST = [
     "ev_anomaly",
     "src_cdx_surt",
     "mm_frame_sample",
+    "ev_asof_join",
+    "f17_fetch_slots",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

@@ -628,3 +628,51 @@ def cache_decisions_sql(obs_sql: str) -> str:
                   THEN max_age_s - age_s ELSE 0 END)::BIGINT AS ttl_left_s
     FROM ({obs_sql})
     """
+
+
+# ---------------------------------------------------------- fetch slots
+
+
+def fetch_slots(frontier: DataFrame, default_delay_ms: int = 500) -> DataFrame:
+    """Politeness schedule materialization: rank each host's queued
+    urls in pop order (weight DESC, url ASC — F1's comparator) and
+    assign concrete fetch timestamps ``stagger + (slot-1) * delay`` so
+    a fetcher fleet executes the wave without any coordination beyond
+    reading its slice.  The per-host stagger (md5(host) mod 1000 ms)
+    de-synchronizes hosts so wave starts don't thundering-herd shared
+    upstreams.  One window keyed by host over (url, weight) rows —
+    the same politeness shuffle shape as pop_wave, never the corpus."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("host").orderBy(F.col("weight").desc(), F.col("url").asc())
+    stagger = (
+        F.conv(F.substring(F.md5(F.col("host")), 1, 4), 16, 10).cast("long")
+        % 1000
+    )
+    delay = F.coalesce(F.col("crawl_delay_ms"), F.lit(default_delay_ms))
+    return (
+        frontier.withColumn("slot", F.row_number().over(w))
+        .select(
+            "url",
+            "host",
+            F.col("slot").cast("int").alias("slot"),
+            (stagger + (F.col("slot") - 1) * delay)
+            .cast("long")
+            .alias("fetch_at_ms"),
+        )
+    )
+
+
+def fetch_slots_sql(frontier_sql: str, default_delay_ms: int = 500) -> str:
+    return f"""
+    WITH r AS (
+      SELECT url, host, crawl_delay_ms,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY weight DESC, url ASC) AS slot
+      FROM ({frontier_sql}))
+    SELECT url, host, slot::INT AS slot,
+           (('0x' || substr(md5(host), 1, 4))::BIGINT % 1000
+            + (slot - 1) * coalesce(crawl_delay_ms, {default_delay_ms})
+           )::BIGINT AS fetch_at_ms
+    FROM r
+    """

@@ -262,3 +262,31 @@ def test_error_spikes_integer_threshold(spark):
     # hour 9: prev includes the spike (sum 90, n 9):
     # 12 * 9 * 100 = 10800 <= 150 * 90 = 13500 -> calm
     assert got[9]["spike"] == 0
+
+
+# --------------------------------------------------------------- as-of join
+
+
+def test_asof_join_semantics(spark):
+    from datetime import datetime as DT
+    from bingcrawler_spark import analytics as A
+
+    t = lambda s: DT(2024, 1, 1, 0, 0, s)  # noqa: E731
+    quotes = spark.createDataFrame(
+        [(1, t(10), 100), (1, t(20), 200), (2, t(15), 900)],
+        "key long, ts timestamp, val long",
+    )
+    events = spark.createDataFrame(
+        [
+            (0, 1, t(5)),    # before any quote -> NULL
+            (1, 1, t(10)),   # exactly at quote ts -> <= includes it
+            (2, 1, t(15)),   # between -> earlier quote
+            (3, 1, t(25)),   # after both -> latest
+            (4, 2, t(16)),   # other key isolated
+            (5, 3, t(50)),   # key with no quotes -> NULL
+        ],
+        "event_id long, key long, ts timestamp",
+    )
+    got = {r["event_id"]: r["asof_val"]
+           for r in A.asof_join(events, quotes).collect()}
+    assert got == {0: None, 1: 100, 2: 100, 3: 200, 4: 900, 5: None}

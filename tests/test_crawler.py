@@ -436,3 +436,28 @@ def test_cache_decisions_tiers(spark):
         "u6": ("revalidate_lm", 0),
         "u7": ("refetch", 0),
     }
+
+
+# ---------------------------------------------------------- fetch slots
+
+
+def test_fetch_slots_pop_order_and_delay(spark):
+    from bingcrawler_spark import frontier as FR
+
+    rows = [
+        ("u/a", "h1", 100, None),
+        ("u/b", "h1", 90, None),
+        ("u/c", "h1", 100, None),   # ties with u/a -> url asc: a first
+        ("u/d", "h2", 50, 2000),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, host string, weight int, crawl_delay_ms long"
+    )
+    got = {r["url"]: (r["slot"], r["fetch_at_ms"])
+           for r in FR.fetch_slots(df).collect()}
+    import hashlib
+    stag = lambda h: int(hashlib.md5(h.encode()).hexdigest()[:4], 16) % 1000  # noqa: E731
+    assert got["u/a"] == (1, stag("h1"))
+    assert got["u/c"] == (2, stag("h1") + 500)
+    assert got["u/b"] == (3, stag("h1") + 1000)
+    assert got["u/d"] == (1, stag("h2"))

@@ -2348,6 +2348,31 @@ def gr_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p18_meta_robots",
+    """
+    SELECT doc_id,
+           (doc_id % 5 <> 4)::INT AS has_meta,
+           (doc_id % 5 IN (0, 1))::INT AS noindex,
+           (doc_id % 5 IN (0, 2))::INT AS nofollow
+    FROM documents
+    """,
+)
+def p18_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots META roundtrip (REP's page-level layer, companion of the
+    site-level robots.txt parser): noindex gates the indexer, nofollow
+    gates outlink expansion; untagged pages default to index+follow —
+    the reference follows every extracted link unconditionally.  Pack
+    exercises all five content arms; extract is pure JVM regexp; the
+    oracle re-derives the flags arithmetically."""
+    from bingcrawler_spark.functions import extract as EX
+
+    pages = EX.pack_meta_robots_pages(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return EX.meta_robots_extract(pages)
+
+
+@register(
     "ev_asof_join",
     """
     WITH quotes AS (
@@ -4175,6 +4200,7 @@ _CHECK_FIRST = [
     "mm_frame_sample",
     "ev_asof_join",
     "f17_fetch_slots",
+    "p18_meta_robots",
     "ix_phrase_search",
     "dd_containment",
     "ts_nfc_normalize",

@@ -194,3 +194,62 @@ def jsonld_extract(pages, html_col: str = "html", id_col: str = "doc_id"):
         _field('"datePublished":"([^"]*)"').alias("date_published"),
         _field('"wordCount":([0-9]+)').cast("int").alias("word_count"),
     )
+
+
+# ------------------------------------------------------ meta robots channel
+
+
+def pack_meta_robots_pages(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Synthetic pages exercising every <meta name="robots"> arm:
+    noindex,nofollow / noindex / nofollow / all / no tag at all."""
+    did = F.col(id_col)
+    content = (
+        F.when(did % 5 == 0, F.lit("noindex,nofollow"))
+        .when(did % 5 == 1, F.lit("noindex"))
+        .when(did % 5 == 2, F.lit("nofollow"))
+        .when(did % 5 == 3, F.lit("all"))
+    )
+    meta = F.when(
+        did % 5 == 4, F.lit("")
+    ).otherwise(
+        F.concat(F.lit('<meta name="robots" content="'), content, F.lit('">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        meta,
+        F.lit("</head><body><p>"),
+        F.substring(F.col(text_col), 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(did.alias(id_col), html.alias("html"))
+
+
+def meta_robots_extract(pages, html_col: str = "html", id_col: str = "doc_id"):
+    """Parse robots META directives out of raw HTML (REP's page-level
+    layer, the companion of the site-level robots.txt parser in
+    functions/robots.py): noindex gates the indexer, nofollow gates
+    outlink expansion — the reference follows every extracted link
+    unconditionally (TextAnalysis.java href walk).  Pages without the
+    tag default to index+follow, per the robots META spec.  Pure JVM
+    regexp, shuffle-free."""
+    content = F.lower(
+        F.regexp_extract(
+            F.col(html_col),
+            '<meta name="robots" content="([^"]*)"',
+            1,
+        )
+    )
+    df = pages.withColumn("_c", content)
+    has = F.col("_c") != ""
+    noindex = has & (
+        F.col("_c").contains("noindex") | F.col("_c").contains("none")
+    )
+    nofollow = has & (
+        F.col("_c").contains("nofollow") | F.col("_c").contains("none")
+    )
+    return df.select(
+        id_col,
+        has.cast("int").alias("has_meta"),
+        noindex.cast("int").alias("noindex"),
+        nofollow.cast("int").alias("nofollow"),
+    )

@@ -121,3 +121,40 @@ def test_jsonld_extract_tolerates_foreign_html(spark):
     assert got[1]["has_ld"] == 0
     assert got[2]["has_ld"] == 1 and got[2]["headline"] == "X"
     assert got[2]["word_count"] is None  # field absent -> typed NULL
+
+
+# ------------------------------------------------------ meta robots channel
+
+
+def test_meta_robots_arms_and_default(spark):
+    from bingcrawler_spark.functions import extract as EX
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(5)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: (r["has_meta"], r["noindex"], r["nofollow"])
+           for r in EX.meta_robots_extract(
+               EX.pack_meta_robots_pages(docs)).collect()}
+    assert got == {
+        0: (1, 1, 1),  # noindex,nofollow
+        1: (1, 1, 0),  # noindex
+        2: (1, 0, 1),  # nofollow
+        3: (1, 0, 0),  # all
+        4: (0, 0, 0),  # no tag -> index+follow default
+    }
+
+
+def test_meta_robots_none_and_case(spark):
+    from bingcrawler_spark.functions import extract as EX
+
+    df = spark.createDataFrame(
+        [(1, '<meta name="robots" content="NONE">'),
+         (2, '<meta name="robots" content="NoIndex">'),
+         (3, "<html>nothing</html>")],
+        "doc_id long, html string",
+    )
+    got = {r["doc_id"]: (r["has_meta"], r["noindex"], r["nofollow"])
+           for r in EX.meta_robots_extract(df).collect()}
+    assert got[1] == (1, 1, 1)   # none == noindex,nofollow
+    assert got[2] == (1, 1, 0)   # case-insensitive
+    assert got[3] == (0, 0, 0)

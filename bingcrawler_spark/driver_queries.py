@@ -4049,6 +4049,63 @@ def p1b_canon_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return UF.canon_collapse(_variant_urls(spark, sf_dir))
 
 
+# Crawled (url, content-signature) corpus for DUST rule mining: groups
+# of 4 custkeys are one logical page on one of 8 hosts; the 4 variants
+# are (id only | +session | +page=2 | +utm_source).  session/utm never
+# change the signature, page=2 always does, and stripping id collides
+# pages with different signatures — so the learnable per-host rule set
+# is exactly {session, utm_source}.
+_DUST_PAGES_SQL = """
+  SELECT CASE c_custkey % 4
+           WHEN 0 THEN base
+           WHEN 1 THEN base || '&session=' || c_custkey::VARCHAR
+           WHEN 2 THEN base || '&page=2'
+           ELSE base || '&utm_source=news'
+         END AS url,
+         CASE WHEN c_custkey % 4 = 2
+              THEN 'sg' || (c_custkey // 4)::VARCHAR || 'b'
+              ELSE 'sg' || (c_custkey // 4)::VARCHAR
+         END AS sig
+  FROM (SELECT c_custkey,
+               'http://h' || (c_custkey // 4 % 8)::VARCHAR
+               || '.example/item?id=' || (c_custkey // 4)::VARCHAR AS base
+        FROM customer)
+"""
+
+
+def _dust_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("c_custkey")
+    gid = F.expr("div(c_custkey, 4)")
+    base = F.concat(
+        F.lit("http://h"), (gid % 8).cast("string"),
+        F.lit(".example/item?id="), gid.cast("string"),
+    )
+    url = (
+        F.when(k % 4 == 0, base)
+        .when(k % 4 == 1, F.concat(base, F.lit("&session="), k.cast("string")))
+        .when(k % 4 == 2, F.concat(base, F.lit("&page=2")))
+        .otherwise(F.concat(base, F.lit("&utm_source=news")))
+    )
+    sig = F.when(
+        k % 4 == 2, F.concat(F.lit("sg"), gid.cast("string"), F.lit("b"))
+    ).otherwise(F.concat(F.lit("sg"), gid.cast("string")))
+    return _t(spark, sf_dir, "customer").select(
+        url.alias("url"), sig.alias("sig")
+    )
+
+
+@register("f18_dust_rules", UF.dust_rules_sql(_DUST_PAGES_SQL))
+def f18_dust_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DUST alias-rule mining (Bar-Yossef et al., WWW 2007): learn per
+    host which query params are content-irrelevant from crawled
+    (url, signature) pairs — the data-driven generalization of the
+    reference's hard-coded URL normalization (Util.java getStandardUrl,
+    SURVEY §2 P1) and of p1b's fixed tracking-param list.  Expected:
+    session/utm_source mine as alias rules on all 8 hosts; page and id
+    are rejected by signature violations."""
+    return UF.dust_rules(_dust_pages(spark, sf_dir))
+
+
 # Two crawl snapshots derived from documents: old drops doc_id%10==9,
 # new drops doc_id%10==0 and rewrites content for doc_id%7==3.
 _DIFF_OLD_SQL = """
@@ -4178,6 +4235,7 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in original order.
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
+    "f18_dust_rules",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

@@ -181,6 +181,154 @@ def canon_collapse(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def dust_rules(
+    pages: DataFrame,
+    url_col: str = "url",
+    sig_col: str = "sig",
+    min_support: int = 2,
+) -> DataFrame:
+    """DUST-style URL alias-rule mining: learn, per host, which query
+    parameters never change page content (Bar-Yossef et al., "Do Not
+    Crawl in the DUST", WWW 2007).  BingCrawler hard-codes its URL
+    normalization (`Util.java` getStandardUrl strips fragments only;
+    SURVEY §2 P1); a web-scale frontier instead LEARNS rules like
+    "sessionid on host X is content-irrelevant" from already-crawled
+    (url, content-signature) pairs and collapses future candidates
+    before they cost a fetch slot.
+
+    Evidence per (host, param): strip the param from every URL that has
+    it, then
+      * type A — the stripped form was itself crawled: compare the two
+        signatures (equi-join on the stripped URL);
+      * type B — >=2 URLs collapse to the same stripped form (they
+        differ only in that param's value): the group must be
+        signature-pure.
+    A rule holds when every piece of evidence agrees (violations = 0)
+    and support >= min_support.
+
+    Scale shape: explode factor = #distinct param names per URL (small,
+    bounded); both evidence paths shuffle only (host, param, stripped,
+    sig) — signatures are short hashes, page text never moves.  The
+    type-A join is an equi-join on the stripped URL; no similarity
+    cross-product anywhere.
+
+    Output: (host, param, support, violations, is_alias)."""
+    u = F.col(url_col)
+    base = F.regexp_extract(u, r"^([^?#]*)", 1)
+    query = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(F.split(query, "&"), lambda p: p != F.lit(""))
+    names = F.array_distinct(
+        F.transform(params, lambda p: F.regexp_extract(p, r"^([^=]*)", 1))
+    )
+    parsed = pages.select(
+        u.alias("url"),
+        F.col(sig_col).alias("sig"),
+        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        base.alias("base"),
+        params.alias("params"),
+        names.alias("names"),
+    )
+    ex = parsed.select(
+        "sig", "host", "base", "params", F.explode("names").alias("param")
+    )
+    kept = F.filter(
+        F.col("params"),
+        lambda q: F.regexp_extract(q, r"^([^=]*)", 1) != F.col("param"),
+    )
+    stripped = F.concat(
+        F.col("base"),
+        F.when(
+            F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+        ).otherwise(F.lit("")),
+    )
+    ev = ex.select("host", "param", stripped.alias("stripped"), "sig")
+    ev_b = (
+        ev.groupBy("host", "param", "stripped")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("sig").alias("n_sigs"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "host", "param", (F.col("n_sigs") > 1).cast("long").alias("viol")
+        )
+    )
+    corpus = parsed.select(
+        F.col("url").alias("stripped"), F.col("sig").alias("sig2")
+    )
+    ev_a = ev.join(corpus, "stripped").select(
+        "host", "param", (F.col("sig") != F.col("sig2")).cast("long").alias("viol")
+    )
+    return (
+        ev_a.unionByName(ev_b)
+        .groupBy("host", "param")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("support"),
+            F.sum("viol").cast("long").alias("violations"),
+        )
+        .withColumn(
+            "is_alias",
+            (
+                (F.col("violations") == 0) & (F.col("support") >= min_support)
+            ).cast("int"),
+        )
+    )
+
+
+def dust_rules_sql(
+    pages_sql: str,
+    url_col: str = "url",
+    sig_col: str = "sig",
+    min_support: int = 2,
+) -> str:
+    """DuckDB twin of :func:`dust_rules` — identical parse regexes and
+    evidence rules, so the mined rule set is cross-engine hash-checked."""
+    return f"""
+    WITH parsed AS (
+      SELECT {url_col} AS url, {sig_col} AS sig,
+             regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
+             regexp_extract({url_col}, '^([^?#]*)', 1) AS base,
+             list_filter(
+               string_split(regexp_extract({url_col}, '\\?([^#]*)', 1), '&'),
+               p -> p <> ''
+             ) AS params
+      FROM ({pages_sql})
+    ), ex AS (
+      SELECT sig, host, base, params,
+             unnest(list_distinct(
+               list_transform(params, p -> regexp_extract(p, '^([^=]*)', 1))
+             )) AS param
+      FROM parsed
+    ), ev AS (
+      SELECT host, param, sig,
+             base || CASE WHEN len(kept) > 0
+                          THEN '?' || array_to_string(kept, '&')
+                          ELSE '' END AS stripped
+      FROM (
+        SELECT *, list_filter(
+                 params, q -> regexp_extract(q, '^([^=]*)', 1) <> param
+               ) AS kept
+        FROM ex
+      )
+    ), ev_b AS (
+      SELECT host, param,
+             CASE WHEN count(DISTINCT sig) > 1 THEN 1 ELSE 0 END AS viol
+      FROM ev GROUP BY host, param, stripped HAVING count(*) >= 2
+    ), ev_a AS (
+      SELECT e.host, e.param,
+             CASE WHEN e.sig <> c.sig THEN 1 ELSE 0 END AS viol
+      FROM ev e JOIN parsed c ON e.stripped = c.url
+    ), allev AS (
+      SELECT * FROM ev_a UNION ALL SELECT * FROM ev_b
+    )
+    SELECT host, param, count(*)::BIGINT AS support,
+           sum(viol)::BIGINT AS violations,
+           CASE WHEN sum(viol) = 0 AND count(*) >= {min_support}
+                THEN 1 ELSE 0 END::INT AS is_alias
+    FROM allev GROUP BY host, param
+    """
+
+
 def canon_collapse_sql(urls_sql: str, url_col: str = "url") -> str:
     return f"""
     WITH s1 AS (

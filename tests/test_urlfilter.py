@@ -89,3 +89,51 @@ def test_canon_collapse_matches_duckdb(spark):
         for r in con.sql(UF.canon_collapse_sql("SELECT url FROM urls")).fetchall()
     )
     assert got == want
+
+
+# ------------------------------------------------------- DUST alias rules
+
+# (url, content-signature) corpus with known mining outcome per rule:
+#   a.example 'sess'  — 2x type-A agree            -> alias
+#   a.example 'page'  — type-A signature mismatch  -> rejected
+#   a.example 'id'    — type-B impure collapse      -> rejected
+#   b.example 'tok'   — one pure + one impure group -> rejected
+_DUST_PAGES = [
+    ("http://a.example/item?id=1", "s1"),
+    ("http://a.example/item?id=1&sess=9", "s1"),
+    ("http://a.example/item?id=2", "s2"),
+    ("http://a.example/item?id=2&sess=7", "s2"),
+    ("http://a.example/item?id=1&page=2", "s1b"),
+    ("http://b.example/x?tok=1", "t1"),
+    ("http://b.example/x?tok=2", "t1"),
+    ("http://b.example/y?tok=3", "t2"),
+    ("http://b.example/y?tok=4", "t3"),
+]
+
+
+def test_dust_rules_pinned(spark):
+    df = spark.createDataFrame(_DUST_PAGES, "url string, sig string")
+    got = {
+        (r["host"], r["param"]): (r["support"], r["violations"], r["is_alias"])
+        for r in UF.dust_rules(df).collect()
+    }
+    assert got == {
+        ("a.example", "sess"): (2, 0, 1),
+        ("a.example", "page"): (1, 1, 0),
+        ("a.example", "id"): (1, 1, 0),
+        ("b.example", "tok"): (2, 1, 0),
+    }
+
+
+def test_dust_rules_matches_duckdb(spark):
+    df = spark.createDataFrame(_DUST_PAGES, "url string, sig string")
+    got = sorted(tuple(r) for r in UF.dust_rules(df).collect())
+    con = duckdb.connect()
+    con.register("pages", df.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            UF.dust_rules_sql("SELECT url, sig FROM pages")
+        ).fetchall()
+    )
+    assert got == want

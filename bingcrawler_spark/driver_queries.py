@@ -2373,6 +2373,40 @@ def p18_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p19_rel_canonical",
+    """
+    SELECT doc_id,
+           (doc_id % 5 <> 3)::INT AS has_canonical,
+           CASE doc_id % 5
+             WHEN 0 THEN 'http://h' || (doc_id % 20)::VARCHAR
+                         || '.example/it/' || doc_id::VARCHAR
+             WHEN 1 THEN 'http://h' || (doc_id % 20)::VARCHAR
+                         || '.example/canon/' || (doc_id // 5)::VARCHAR
+             WHEN 2 THEN 'http://mirror.example/it/' || doc_id::VARCHAR
+             WHEN 4 THEN 'http://h' || (doc_id % 20)::VARCHAR
+                         || '.example/canon/' || (doc_id // 5)::VARCHAR
+           END AS canonical,
+           (doc_id % 5 = 0)::INT AS is_self,
+           (doc_id % 5 = 2)::INT AS cross_host
+    FROM documents
+    """,
+)
+def p19_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """<link rel="canonical"> roundtrip — the page-side dedup signal a
+    production indexer honors before collapse (the reference indexes
+    fetched URLs verbatim; URL-side canon is SURVEY §2 P1).  Pack
+    exercises absolute-self / same-host / cross-host / absent /
+    host-relative arms; extract resolves relative hrefs against the
+    page URL; the oracle re-derives all five arms arithmetically."""
+    from bingcrawler_spark.functions import extract as EX
+
+    pages = EX.pack_rel_canonical_pages(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return EX.rel_canonical_extract(pages)
+
+
+@register(
     "ev_asof_join",
     """
     WITH quotes AS (
@@ -4236,6 +4270,7 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
     "f18_dust_rules",
+    "p19_rel_canonical",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

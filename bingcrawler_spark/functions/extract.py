@@ -253,3 +253,76 @@ def meta_robots_extract(pages, html_col: str = "html", id_col: str = "doc_id"):
         noindex.cast("int").alias("noindex"),
         nofollow.cast("int").alias("nofollow"),
     )
+
+
+# ------------------------------------------------------ rel=canonical channel
+
+_CANON_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
+
+
+def pack_rel_canonical_pages(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Synthetic pages exercising every <link rel="canonical"> arm:
+    absolute self-canonical / same-host other page / cross-host /
+    no tag / host-relative href that must resolve against the page URL."""
+    did = F.col(id_col)
+    url = F.concat(
+        F.lit("http://h"), (did % 20).cast("string"),
+        F.lit(".example/it/"), did.cast("string"),
+    )
+    canon_path = F.concat(F.lit("/canon/"), F.expr(f"div({id_col}, 5)").cast("string"))
+    href = (
+        F.when(did % 5 == 0, url)
+        .when(did % 5 == 1, F.concat(
+            F.lit("http://h"), (did % 20).cast("string"), F.lit(".example"),
+            canon_path,
+        ))
+        .when(did % 5 == 2, F.concat(
+            F.lit("http://mirror.example/it/"), did.cast("string")
+        ))
+        .when(did % 5 == 4, canon_path)
+    )
+    link = F.when(did % 5 == 3, F.lit("")).otherwise(
+        F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        link,
+        F.lit("</head><body><p>"),
+        F.substring(F.col(text_col), 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        did.alias(id_col), url.alias("url"), html.alias("html")
+    )
+
+
+def rel_canonical_extract(
+    pages, html_col: str = "html", url_col: str = "url", id_col: str = "doc_id"
+):
+    """Parse <link rel="canonical"> out of raw HTML — the page-side
+    dedup signal every production crawler honors before indexing (the
+    reference indexes every fetched URL verbatim; SURVEY §2 P1 covers
+    only URL-side normalization).  Host-relative hrefs resolve against
+    the page URL's scheme+host; `is_self` marks pages that are already
+    the canonical representative and `cross_host` flags canonicals that
+    leave the host (the case a crawler must treat as a redirect-like
+    edge, not a silent collapse).  Pure JVM regexp, shuffle-free at any
+    scale."""
+    href = F.regexp_extract(
+        F.col(html_col), '<link rel="canonical" href="([^"]*)"', 1
+    )
+    host = F.regexp_extract(F.col(url_col), _CANON_HOST_RE, 1)
+    scheme = F.regexp_extract(F.col(url_col), r"^([a-z][a-z0-9+.-]*)://", 1)
+    resolved = F.when(href == "", F.lit(None).cast("string")).when(
+        href.startswith("/"),
+        F.concat(scheme, F.lit("://"), host, href),
+    ).otherwise(href)
+    has = href != ""
+    canon_host = F.regexp_extract(resolved, _CANON_HOST_RE, 1)
+    return pages.select(
+        id_col,
+        has.cast("int").alias("has_canonical"),
+        resolved.alias("canonical"),
+        (has & (resolved == F.col(url_col))).cast("int").alias("is_self"),
+        (has & (canon_host != host)).cast("int").alias("cross_host"),
+    )

@@ -10,6 +10,7 @@ from bingcrawler_spark.functions.extract import (
     py_get_charset,
 )
 from bingcrawler_spark.synth import synth_pages_df, synth_pages_local
+from bingcrawler_spark.functions import extract as EX
 
 HTML = (
     '<html><head><meta charset="utf-8"><title>T</title>'
@@ -158,3 +159,46 @@ def test_meta_robots_none_and_case(spark):
     assert got[1] == (1, 1, 1)   # none == noindex,nofollow
     assert got[2] == (1, 1, 0)   # case-insensitive
     assert got[3] == (0, 0, 0)
+
+
+def test_rel_canonical_arms(spark):
+    rows = [
+        # absolute self
+        (1, "http://a.example/p/1",
+         '<html><head><link rel="canonical" href="http://a.example/p/1"></head></html>'),
+        # same-host other page
+        (2, "http://a.example/p/2?page=2",
+         '<html><head><link rel="canonical" href="http://a.example/p/2"></head></html>'),
+        # cross-host
+        (3, "http://a.example/p/3",
+         '<html><head><link rel="canonical" href="http://m.example/p/3"></head></html>'),
+        # absent
+        (4, "http://a.example/p/4", "<html><head></head></html>"),
+        # host-relative: resolves against the page scheme+host
+        (5, "https://a.example/p/5?v=1",
+         '<html><head><link rel="canonical" href="/p/5"></head></html>'),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, html string")
+    got = {r["doc_id"]: (r["has_canonical"], r["canonical"], r["is_self"],
+                         r["cross_host"])
+           for r in EX.rel_canonical_extract(df).collect()}
+    assert got[1] == (1, "http://a.example/p/1", 1, 0)
+    assert got[2] == (1, "http://a.example/p/2", 0, 0)
+    assert got[3] == (1, "http://m.example/p/3", 0, 1)
+    assert got[4] == (0, None, 0, 0)
+    assert got[5] == (1, "https://a.example/p/5", 0, 0)
+
+
+def test_rel_canonical_pack_roundtrip(spark):
+    docs = spark.createDataFrame(
+        [(i, "body text") for i in range(10)], "doc_id long, text string"
+    )
+    pages = EX.pack_rel_canonical_pages(docs)
+    got = {r["doc_id"]: r for r in EX.rel_canonical_extract(pages).collect()}
+    for d in range(10):
+        r = got[d]
+        assert r["has_canonical"] == (0 if d % 5 == 3 else 1)
+        assert r["is_self"] == (1 if d % 5 == 0 else 0)
+        assert r["cross_host"] == (1 if d % 5 == 2 else 0)
+        if d % 5 in (1, 4):  # absolute and relative arms resolve identically
+            assert r["canonical"] == f"http://h{d % 20}.example/canon/{d // 5}"

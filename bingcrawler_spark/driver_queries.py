@@ -40,6 +40,7 @@ from bingcrawler_spark.dataops import similarity as SIM
 from bingcrawler_spark.dataops import textstats as TS
 from bingcrawler_spark.dataops import tokenizer as TK
 from bingcrawler_spark import graph as GR
+from bingcrawler_spark import sinks as SNK
 from bingcrawler_spark import sitemap as SM
 from bingcrawler_spark import warc as WARC
 from bingcrawler_spark import indexing as IX
@@ -2517,6 +2518,24 @@ _CDX_CAPTURES_SQL = """
 """
 
 
+@register(
+    "src_jsonl_manifest",
+    SNK.jsonl_manifest_sql("SELECT doc_id, text FROM documents", 16),
+)
+def src_jsonl_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-JSONL training-corpus export manifest: per shard (md5-
+    derived assignment) the doc count, token sum, and md5 of the
+    newline-joined serialized lines in doc-id order — the verifiable
+    receipt for the export sink (sinks.py write_jsonl_corpus), replacing
+    the reference's driver-side text reports (CommonAnalysis.textToFile)
+    with a format a 1000-executor export can actually produce.  The
+    oracle re-derives every byte (escaping, shard math, checksum) in
+    DuckDB."""
+    return SNK.jsonl_manifest(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"), 16
+    )
+
+
 @register("src_cdx_surt", WARC.cdx_index_sql(_CDX_CAPTURES_SQL))
 def src_cdx_surt(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDX capture-index rows with SURT keys (host labels reversed and
@@ -4271,6 +4290,7 @@ _CHECK_FIRST = [
     # never driver-checked (new this round / judge-verified locally only)
     "f18_dust_rules",
     "p19_rel_canonical",
+    "src_jsonl_manifest",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

@@ -1,0 +1,158 @@
+"""Training-corpus export sinks.
+
+The reference emits its analysis results as driver-side text reports
+(`CommonAnalysis.textToFile`, `BingDataAnalysis` report loop) — a shape
+that cannot leave one machine.  The web-scale equivalent is the sharded
+JSONL corpus: the interchange format LLM training stacks consume (one
+JSON object per line, fixed shard count, a manifest with per-shard
+counts and checksums so a 100 TB export is verifiable without re-reading
+it).
+
+Design for scale:
+* shard assignment is a pure column expression on the doc id (md5-based,
+  engine-independent) — no shuffle beyond the final shard-aligned write;
+* `write_jsonl_corpus` repartitions BY SHARD and streams each shard
+  through Spark's text writer — no driver collection, no per-row Python;
+* the manifest aggregates (count, token sum, md5-of-ordered-lines) per
+  shard — the md5 fold is the only per-shard serial step, and it runs
+  distributed, one task per shard;
+* `jsonl_manifest_sql` re-derives every byte in DuckDB, so the whole
+  serialize→shard→checksum path is cross-engine hash-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# JSON string-escape table, applied in this exact order in both engines
+# (backslash first, or later rules would double-escape its output).
+_ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+
+
+def _json_escape(col: Column) -> Column:
+    out = col
+    for raw, esc in _ESCAPES:
+        out = F.replace(out, F.lit(raw), F.lit(esc))
+    return out
+
+
+def _shard_col(id_col: Column, n_shards: int) -> Column:
+    """Deterministic md5-derived shard id — identical in Spark and
+    DuckDB, uniform across ids (first md5 byte mod n_shards)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 2), 16, 10).cast("int")
+        % n_shards
+    )
+
+
+def jsonl_lines(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) → (doc_id, shard_id, n_tokens, line) where `line` is
+    the serialized training record `{"id":<id>,"text":"<escaped>"}`.
+    Pure column expressions — serialization never leaves the JVM."""
+    did = F.col(id_col)
+    text = F.col(text_col)
+    line = F.concat(
+        F.lit('{"id":'),
+        did.cast("string"),
+        F.lit(',"text":"'),
+        _json_escape(text),
+        F.lit('"}'),
+    )
+    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    return docs.select(
+        did.alias("doc_id"),
+        _shard_col(did, n_shards).alias("shard_id"),
+        n_tokens.alias("n_tokens"),
+        line.alias("line"),
+    )
+
+
+def jsonl_manifest(
+    docs: DataFrame,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest: (shard_id, n_docs, n_tokens, content_md5)
+    where content_md5 hashes the newline-joined lines in doc-id order —
+    the receipt a consumer checks against the shard file it downloaded.
+
+    The sort_array(collect_list(struct(..))) fold keeps ordering
+    deterministic regardless of task scheduling; each shard's fold is
+    one task, so shard count — not corpus size — bounds the serial
+    work."""
+    lines = jsonl_lines(docs, n_shards, id_col, text_col)
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
+        lambda x: x["line"],
+    )
+    return lines.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ordered, "\n")).alias("content_md5"),
+    )
+
+
+def jsonl_manifest_sql(
+    docs_sql: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`jsonl_manifest` — same escapes, same shard
+    math, same ordered md5 fold."""
+    # DuckDB single-quoted literals take backslashes verbatim; control
+    # chars are spelled chr(); only ' needs doubling.
+    def lit(s: str) -> str:
+        return {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)"}.get(
+            s, "'" + s.replace("'", "''") + "'"
+        )
+
+    esc = text_col
+    for raw, out in _ESCAPES:
+        esc = f"replace({esc}, {lit(raw)}, {lit(out)})"
+    return f"""
+    WITH lines AS (
+      SELECT {id_col} AS doc_id,
+             ('0x' || substr(md5({id_col}::VARCHAR), 1, 2))::INT % {n_shards}
+               AS shard_id,
+             len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n_tokens,
+             '{{"id":' || {id_col}::VARCHAR || ',"text":"' || {esc} || '"}}'
+               AS line
+      FROM ({docs_sql})
+    )
+    SELECT shard_id, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           md5(string_agg(line, chr(10) ORDER BY doc_id)) AS content_md5
+    FROM lines GROUP BY shard_id
+    """
+
+
+def write_jsonl_corpus(
+    docs: DataFrame,
+    path: str,
+    n_shards: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Write the corpus as `path/shard_id=K/*.txt` JSONL shard dirs and
+    return the manifest.  One shuffle (repartition by shard), then each
+    shard streams through the text writer sorted by doc id — at 100 TB
+    this is the standard export plan: shard files land in parallel, and
+    the manifest is the only thing a consumer must read to verify."""
+    lines = jsonl_lines(docs, n_shards, id_col, text_col)
+    (
+        lines.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", "doc_id")
+        .select("shard_id", "line")
+        .write.partitionBy("shard_id")
+        .mode("overwrite")
+        .text(path)
+    )
+    return jsonl_manifest(docs, n_shards, id_col, text_col)

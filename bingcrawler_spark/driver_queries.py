@@ -4277,6 +4277,51 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_neardup_pairs(MM.dhash_media(_image_corpus(spark, sf_dir)))
 
 
+# ---- host budget allocation / per-doc TF-IDF keywords
+
+_BUDGET_HOSTS_SQL = """
+  SELECT 'h' || (c_custkey % 40)::VARCHAR AS host,
+         (sum(c_custkey) % 97 + 1)::BIGINT AS weight,
+         count(*)::BIGINT AS demand
+  FROM customer GROUP BY 1
+"""
+
+
+@register("f19_host_budget", FR.host_budget_sql(_BUDGET_HOSTS_SQL, 1000))
+def f19_host_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) split of a global wave budget of
+    1000 fetches across 40 hosts by weight, demand-capped — Σ alloc is
+    exactly the budget, all-integer arithmetic, cross-engine
+    hash-stable.  The cluster-scale contract between frontier and fetch
+    fleet; the reference pulls from one queue with no global budget
+    (BingCrawlerTask.java run loop)."""
+    k = F.col("c_custkey")
+    hosts = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.concat(F.lit("h"), (k % 40).cast("string")).alias("host"))
+        .agg(
+            (F.sum(k) % 97 + 1).cast("long").alias("weight"),
+            F.count(F.lit(1)).cast("long").alias("demand"),
+        )
+    )
+    return FR.host_budget(hosts, 1000)
+
+
+@register(
+    "ix_tfidf_keywords",
+    IX.tfidf_keywords_sql("SELECT doc_id, text FROM documents"),
+)
+def ix_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords by tf·ln(N/df) (e4 fixed-point,
+    term-asc tie-break) — the corpus-side keyword extractor
+    complementing R10's author-keyword rollup and BM25's query-side
+    scoring.  Two keyed aggregations plus a per-doc ranking window; no
+    unpartitioned work beyond a 1-row N aggregate."""
+    return IX.tfidf_keywords(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -4291,6 +4336,8 @@ _CHECK_FIRST = [
     "f18_dust_rules",
     "p19_rel_canonical",
     "src_jsonl_manifest",
+    "f19_host_budget",
+    "ix_tfidf_keywords",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

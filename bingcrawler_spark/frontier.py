@@ -676,3 +676,82 @@ def fetch_slots_sql(frontier_sql: str, default_delay_ms: int = 500) -> str:
            )::BIGINT AS fetch_at_ms
     FROM r
     """
+
+
+# ------------------------------------------------------- host budget split
+
+
+def host_budget(hosts: DataFrame, budget: int) -> DataFrame:
+    """Split a global per-wave fetch budget across hosts proportionally
+    to weight, with largest-remainder (Hamilton) rounding — the
+    allocation a cluster-scale crawler computes every wave so that
+    Σ alloc == budget EXACTLY and no host is starved by float rounding.
+    The reference's scheduler has no global budget (one WebDriver pulls
+    whatever tops the queue, `BingCrawlerTask.java` run loop); at
+    1000 executors the wave budget IS the contract between the frontier
+    and the fetch fleet.
+
+    Input: (host, weight, demand) — weight drives the share, demand
+    (frontier backlog) caps what the host can actually use; `effective`
+    = min(alloc, demand) and `spare` is what re-enters the next wave's
+    pool.  All arithmetic is integer (alloc = ⌊budget·w/W⌋ + 1 for the
+    `budget − Σ⌊⌋` largest remainders, ties broken host-asc), so the
+    result is cross-engine hash-stable and independent of partitioning.
+
+    Scale shape: two unpartitioned window functions over the HOSTS
+    table (not the frontier) — 10^6-10^7 small rows through one sort,
+    trivially sized; the frontier itself never moves."""
+    total_w = F.sum("weight").over(W.partitionBy())
+    num = F.lit(budget).cast("long") * F.col("weight").cast("long")
+    d = hosts.select(
+        "host",
+        F.col("weight").cast("long").alias("weight"),
+        F.col("demand").cast("long").alias("demand"),
+        num.alias("num"),
+        total_w.cast("long").alias("tw"),
+    ).select(
+        "host",
+        "weight",
+        "demand",
+        # div() is exact 64-bit integral division — no double rounding
+        # even when budget·weight approaches 2^63
+        F.expr("div(num, tw)").alias("base"),
+        (F.col("num") % F.col("tw")).alias("rem"),
+    )
+    leftover = F.lit(budget) - F.sum("base").over(W.partitionBy())
+    rnk = F.row_number().over(
+        W.partitionBy().orderBy(F.col("rem").desc(), F.col("host").asc())
+    )
+    alloc = F.col("base") + (rnk <= leftover).cast("long")
+    return d.select(
+        "host",
+        "weight",
+        "demand",
+        alloc.alias("alloc"),
+        F.least(alloc, F.col("demand")).alias("effective"),
+        F.greatest(alloc - F.col("demand"), F.lit(0).cast("long")).alias("spare"),
+    )
+
+
+def host_budget_sql(hosts_sql: str, budget: int) -> str:
+    """DuckDB twin of :func:`host_budget` — same integer Hamilton split."""
+    return f"""
+    WITH d AS (
+      SELECT host, weight::BIGINT AS weight, demand::BIGINT AS demand,
+             ({budget}::BIGINT * weight) // sum(weight) OVER () AS base,
+             ({budget}::BIGINT * weight) % sum(weight) OVER () AS rem
+      FROM ({hosts_sql})
+    ), r AS (
+      SELECT *,
+             {budget} - sum(base) OVER () AS leftover,
+             row_number() OVER (ORDER BY rem DESC, host ASC) AS rnk
+      FROM d
+    )
+    SELECT host, weight, demand,
+           (base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)::BIGINT AS alloc,
+           least(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END,
+                 demand)::BIGINT AS effective,
+           greatest(base + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END
+                    - demand, 0)::BIGINT AS spare
+    FROM r
+    """

@@ -428,3 +428,80 @@ def spell_candidates_sql(
     SELECT query, rank::INT AS rank, cand, dist::INT AS dist, freq
     FROM r WHERE rank <= {topk}
     """
+
+
+# ---------------------------------------------------------------------
+# Per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------
+def tfidf_keywords(docs: DataFrame, top_k: int = 3, min_len: int = 4) -> DataFrame:
+    """documents(doc_id, text) → top-`top_k` terms per doc by
+    tf·ln(N/df) — the classic per-document keyword extractor (the
+    corpus-side complement of BM25's query-side scoring; the reference's
+    keyword analytics only counts author-supplied keyword fields,
+    SURVEY §2 R10).
+
+    Plan shape: explode → (doc_id, term) count (one shuffle with
+    map-side combine), term→df aggregate over the already-unique
+    (doc, term) pairs (second small shuffle), a 1-row N aggregate
+    broadcast back, then a per-doc window for top-k — partitioned by
+    doc_id, so rank work distributes with the corpus.  Scores are e4
+    fixed-point (same convention as BM25) with term-asc tie-break, so
+    output is cross-engine hash-stable."""
+    toks = docs.select("doc_id", F.explode(_toks_col()).alias("term")).where(
+        F.length("term") >= min_len
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    score = F.col("tf").cast("double") * F.log(
+        F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_e4").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(score * 10_000).cast("long").alias("score_e4"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def tfidf_keywords_sql(from_docs: str, top_k: int = 3, min_len: int = 4) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENIZE}) AS term
+      FROM ({from_docs})
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM toks WHERE length(term) >= {min_len}
+      GROUP BY doc_id, term
+    ), dft AS (
+      SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*)::BIGINT AS n_docs FROM ({from_docs})
+    ), scored AS (
+      SELECT doc_id, tf.term, tf, df,
+             round(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE)
+                   * 10000)::BIGINT AS score_e4
+      FROM tf JOIN dft USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score_e4 DESC, term ASC
+             ) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_e4, rank
+    FROM ranked WHERE rank <= {top_k}
+    """

@@ -461,3 +461,31 @@ def test_fetch_slots_pop_order_and_delay(spark):
     assert got["u/c"] == (2, stag("h1") + 500)
     assert got["u/b"] == (3, stag("h1") + 1000)
     assert got["u/d"] == (1, stag("h2"))
+
+
+def test_host_budget_hamilton_exact(spark):
+    import duckdb
+    from bingcrawler_spark import frontier as FR
+
+    hosts = spark.createDataFrame(
+        [("a", 5, 100), ("b", 3, 2), ("c", 3, 100), ("d", 1, 100)],
+        "host string, weight long, demand long",
+    )
+    out = {r["host"]: r for r in FR.host_budget(hosts, 10).collect()}
+    # quotas: a=50/12=4r2, b=30/12=2r6, c=30/12=2r6, d=10/12=0r10
+    # floor sum=8, leftover 2 -> d (r10) and b (r6, host-asc beats c)
+    assert {h: r["alloc"] for h, r in out.items()} == {
+        "a": 4, "b": 3, "c": 2, "d": 1}
+    assert sum(r["alloc"] for r in out.values()) == 10
+    assert out["b"]["effective"] == 2 and out["b"]["spare"] == 1
+    con = duckdb.connect()
+    con.register("hosts", hosts.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            FR.host_budget_sql("SELECT * FROM hosts", 10)
+        ).fetchall()
+    )
+    assert sorted(
+        tuple(r) for r in FR.host_budget(hosts, 10).collect()
+    ) == want

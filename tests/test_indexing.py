@@ -171,3 +171,35 @@ def test_spell_candidates_rank_and_verify(spark):
     assert got["widow"] == [(1, "window", 1, 6)]
     # 'winow' is deletion-1 of BOTH window and winnow: freq ranks window first
     assert got["winow"] == [(1, "window", 1, 6), (2, "winnow", 1, 3)]
+
+
+def test_tfidf_keywords_pinned_and_twin(spark):
+    import duckdb
+    from bingcrawler_spark import indexing as IX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple cherry"),
+            (2, "banana cherry cherry dates"),
+            (3, "apple apple apple zebra"),
+            (4, "common common common common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = IX.tfidf_keywords(docs, top_k=2, min_len=4).collect()
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["df"]) for r in out}
+    # doc 3: 'zebra' df=1 beats 'apple' df=2 only if tf*idf says so:
+    # apple tf=3 idf=ln(4/2)=.693 -> 2.079; zebra tf=1 idf=ln(4)=1.386
+    assert got[(3, 1)][0] == "apple" and got[(3, 2)][0] == "zebra"
+    # doc 4: 'common' df=1 tf=4 is its only keyword
+    assert got[(4, 1)] == ("common", 4, 1)
+    assert (4, 2) not in got
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            IX.tfidf_keywords_sql("SELECT doc_id, text FROM docs", 2, 4)
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in out) == want

@@ -3012,6 +3012,33 @@ def src_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WARC.parse_warc_blobs(blobs)
 
 
+@register(
+    "src_wet_extract",
+    """
+    SELECT 'https://host' || (doc_id % 32)::VARCHAR || '.example/doc/'
+               || doc_id::VARCHAR AS url,
+           strftime(TIMESTAMP '2024-01-01 00:00:00'
+                    + to_seconds(doc_id::BIGINT),
+                    '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+           '<urn:md5:' || md5('https://host' || (doc_id % 32)::VARCHAR
+               || '.example/doc/' || doc_id::VARCHAR) || '>' AS refers_to,
+           octet_length(encode(text))::BIGINT AS text_len,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def src_wet_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation (Common Crawl's extracted-text archives): WARC
+    response blobs → `conversion` records blob-for-blob in map tasks
+    (zero shuffle — the production WET-generation job shape), then the
+    WET reader parses them back.  WARC-Refers-To must link each
+    conversion to its source response record; the oracle re-derives
+    URL, date, link digest, and payload hash arithmetically, so writer,
+    converter, and reader byte layouts are all certified at once."""
+    blobs = WARC.pack_warc(_t(spark, sf_dir, "documents"))
+    return WARC.parse_wet_blobs(WARC.pack_wet(blobs))
+
+
 # =====================================================================
 # Indexing / retrieval (the search side of a search-engine crawler)
 # =====================================================================
@@ -4338,6 +4365,7 @@ _CHECK_FIRST = [
     "src_jsonl_manifest",
     "f19_host_budget",
     "ix_tfidf_keywords",
+    "src_wet_extract",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

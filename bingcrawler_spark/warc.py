@@ -312,3 +312,100 @@ def cdx_index_sql(captures_sql: str) -> str:
            url, ts_s::BIGINT AS ts_s, digest
     FROM ({captures_sql})
     """
+
+
+# ------------------------------------------------------------- WET channel
+
+WET_SCHEMA = (
+    "url string, warc_date string, refers_to string, "
+    "text_len bigint, text_md5 string"
+)
+
+
+def build_wet_record(url: str, warc_date: str, text: bytes) -> bytes:
+    """One WARC/1.0 `conversion` record — the WET (extracted-text)
+    sibling Common Crawl publishes next to every .warc.gz.  The
+    WARC-Refers-To header links back to the response record it was
+    derived from (WARC spec §6.7)."""
+    rid = hashlib.md5(url.encode() + b"/wet").hexdigest()
+    ref = hashlib.md5(url.encode()).hexdigest()
+    hdr = (
+        "WARC/1.0\r\n"
+        "WARC-Type: conversion\r\n"
+        f"WARC-Record-ID: <urn:md5:{rid}>\r\n"
+        f"WARC-Refers-To: <urn:md5:{ref}>\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        "Content-Type: text/plain\r\n"
+        f"Content-Length: {len(text)}\r\n\r\n"
+    ).encode()
+    return hdr + text + b"\r\n\r\n"
+
+
+def pack_wet(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """WARC response blobs → WET conversion blobs, blob-for-blob: each
+    task splits its archive, derives one `conversion` record per
+    `response` record (text/plain bodies pass through; an HTML corpus
+    would route through functions/extract first), and re-concatenates —
+    the exact shape of a production WET-generation job: ZERO shuffle,
+    100 TB of archives stream through map tasks and only same-sized
+    text blobs come out."""
+
+    def _conv(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for bid, blob in zip(pdf["blob_id"], pdf[blob_col]):
+                raw = bytes(blob)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = _gunzip_members(raw)
+                recs = []
+                for hdrs, payload in _split_records(raw):
+                    if hdrs.get("warc-type") != "response":
+                        continue
+                    _, body = _parse_http(payload)
+                    recs.append(
+                        build_wet_record(
+                            hdrs.get("warc-target-uri", ""),
+                            hdrs.get("warc-date", ""),
+                            body,
+                        )
+                    )
+                out.append((int(bid), b"".join(recs)))
+            yield pd.DataFrame(out, columns=["blob_id", "blob"])
+
+    return blobs.select("blob_id", blob_col).mapInPandas(
+        _conv, "blob_id bigint, blob binary"
+    )
+
+
+def parse_wet_blobs(blobs: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """(… blob binary …) → one row per WET conversion record; narrow
+    columns only, no shuffle (same reader pattern as parse_warc_blobs)."""
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for blob in pdf[blob_col]:
+                raw = bytes(blob)
+                if raw[:2] == _GZIP_MAGIC:
+                    raw = _gunzip_members(raw)
+                for hdrs, payload in _split_records(raw):
+                    if hdrs.get("warc-type") != "conversion":
+                        continue
+                    rows.append(
+                        (
+                            hdrs.get("warc-target-uri", ""),
+                            hdrs.get("warc-date", ""),
+                            hdrs.get("warc-refers-to", ""),
+                            len(payload),
+                            hashlib.md5(payload).hexdigest(),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "warc_date", "refers_to", "text_len", "text_md5",
+                ],
+            )
+
+    return blobs.select(blob_col).mapInPandas(_parse, WET_SCHEMA)

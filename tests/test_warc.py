@@ -142,3 +142,37 @@ def test_cdx_surt_reverses_host_labels(spark):
     got = {r["url"]: r["surt"] for r in WARC.cdx_index(df).collect()}
     assert got["https://a.b.example.com/x/y"] == "com,example,b,a)/x/y"
     assert got["http://example.org/"] == "org,example)/"
+
+
+def test_wet_record_layout_and_linkage():
+    rec = W.build_wet_record("https://h.example/d/1", "2024-01-01T00:00:01Z",
+                             b"hello text")
+    hdrs, payload = next(W._split_records(rec))
+    assert hdrs["warc-type"] == "conversion"
+    assert payload == b"hello text"
+    assert hdrs["warc-refers-to"] == (
+        "<urn:md5:" + hashlib.md5(b"https://h.example/d/1").hexdigest() + ">"
+    )
+    # refers-to must equal the response record's WARC-Record-ID
+    resp = W.build_record("https://h.example/d/1", "2024-01-01T00:00:01Z", b"x")
+    rh, _ = next(W._split_records(resp))
+    assert hdrs["warc-refers-to"] == rh["warc-record-id"]
+
+
+def test_wet_convert_roundtrip_spark(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expected = {
+        (
+            W.doc_url(r["doc_id"]),
+            W.doc_date(r["doc_id"]),
+            "<urn:md5:"
+            + hashlib.md5(W.doc_url(r["doc_id"]).encode()).hexdigest()
+            + ">",
+            len(r["text"].encode("utf-8")),
+            hashlib.md5(r["text"].encode("utf-8")).hexdigest(),
+        )
+        for r in docs.select("doc_id", "text").collect()
+    }
+    wet = W.parse_wet_blobs(W.pack_wet(W.pack_warc(docs, recs_per_blob=16)))
+    got = {tuple(r) for r in wet.collect()}
+    assert got == expected

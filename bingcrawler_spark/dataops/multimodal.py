@@ -797,3 +797,119 @@ def frame_sample_sql(
            (frame_idx * 1000 // {fps})::BIGINT AS ts_ms
     FROM ex
     """
+
+
+# ---------------------------------------------------------- audio features
+
+AUDIO_FEAT_SCHEMA = (
+    "doc_id bigint, frame int, peak bigint, zcr bigint, rms_e4 bigint"
+)
+
+
+def encode_wav_samples(samples, rate: int = 8000) -> bytes:
+    """RIFF/WAVE 16-bit PCM mono from an explicit sample sequence (the
+    varying-waveform sibling of encode_wav_pcm16)."""
+    data = struct.pack("<%dh" % len(samples), *samples)
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + len(data), b"WAVE",
+        b"fmt ", 16, 1, 1, rate, rate * 2, 2, 16,
+        b"data", len(data),
+    )
+    return hdr + data
+
+
+def pack_audio_frames(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic pseudo-waveform WAV corpus: doc d gets
+    160·(1 + d%4) samples s_i = ((d+i)·37) mod 1024 − 512 — a closed
+    form both engines can re-derive sample-exactly, with real sign
+    structure so zero-crossing and RMS features are non-trivial."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf[id_col]:
+                d = int(d)
+                i = np.arange(160 * (1 + d % 4), dtype=np.int64)
+                s = (d + i) * 37 % 1024 - 512
+                blobs.append(encode_wav_samples(s.tolist()))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "wav": blobs})
+
+    return docs.select(id_col).mapInPandas(run, "doc_id bigint, wav binary")
+
+
+def audio_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
+    """Per-frame audio features over real PCM-WAV bytes: peak amplitude,
+    zero-crossing count (strict sign flips, frame-local), and RMS as e4
+    fixed-point — the feature-extraction stage of an audio training-data
+    pipeline (language/music/noise gates key off exactly these).
+
+    Arrow-batched mapInPandas, numpy per batch, ZERO shuffle: frames are
+    derived inside each task and only (doc, frame, 3 ints) leave — at
+    100 TB of audio the payload bytes die with the scan task, the same
+    contract as the WARC/WET readers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for did, blob in zip(pdf["doc_id"], pdf["wav"]):
+                b = bytes(blob)
+                # minimal RIFF walk: find the data chunk
+                pos, data = 12, b""
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    sz = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+                    if cid == b"data":
+                        data = b[pos + 8 : pos + 8 + sz]
+                    pos += 8 + sz + (sz & 1)
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                for f in range(len(s) // frame_len):
+                    fr = s[f * frame_len : (f + 1) * frame_len]
+                    rms = math.sqrt(float(np.mean(fr.astype(np.float64) ** 2)))
+                    out.append(
+                        (
+                            int(did),
+                            f,
+                            int(np.max(np.abs(fr))),
+                            int(np.sum(fr[:-1] * fr[1:] < 0)),
+                            # half-away-from-zero to match SQL round()
+                            int(math.floor(rms * 10_000 + 0.5)),
+                        )
+                    )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame", "peak", "zcr", "rms_e4"]
+            )
+
+    return media.select("doc_id", "wav").mapInPandas(run, AUDIO_FEAT_SCHEMA)
+
+
+def audio_features_sql(docs_sql: str, frame_len: int = 160) -> str:
+    """DuckDB twin: re-derive every sample from the closed form and
+    aggregate the same frame features."""
+    return f"""
+    WITH s AS (
+      SELECT doc_id,
+             unnest(range(0, {frame_len} * (1 + doc_id % 4))) AS i
+      FROM ({docs_sql})
+    ), w AS (
+      SELECT doc_id, (i // {frame_len})::INT AS frame, i,
+             ((doc_id + i) * 37 % 1024 - 512)::BIGINT AS smp
+      FROM s
+    ), lagged AS (
+      SELECT doc_id, frame, smp,
+             lag(smp) OVER (PARTITION BY doc_id, frame ORDER BY i) AS prev
+      FROM w
+    )
+    SELECT doc_id, frame,
+           max(abs(smp))::BIGINT AS peak,
+           sum(CASE WHEN prev IS NOT NULL AND prev * smp < 0
+                    THEN 1 ELSE 0 END)::BIGINT AS zcr,
+           round(sqrt(avg((smp * smp)::DOUBLE)) * 10000)::BIGINT AS rms_e4
+    FROM lagged GROUP BY doc_id, frame
+    """

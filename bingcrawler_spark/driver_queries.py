@@ -4349,6 +4349,23 @@ def ix_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_audio_features",
+    MM.audio_features_sql("SELECT doc_id FROM documents"),
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio features (peak / zero-crossings / RMS e4) over
+    real RIFF PCM-WAV bytes — the feature-extraction stage of the
+    multimodal pipeline (decode=mm_decode_roundtrip, resize/neardup=
+    mm_image_neardup, sample=mm_frame_sample; this completes the
+    modality matrix).  Pack synthesizes sample-exact pseudo-waveforms;
+    the oracle re-derives every sample from the closed form, so the
+    encoder, RIFF walk, and numpy feature math are all certified."""
+    return MM.audio_features(
+        MM.pack_audio_frames(_t(spark, sf_dir, "documents"))
+    )
+
+
 # =====================================================================
 # Driver scheduling order
 # =====================================================================
@@ -4366,6 +4383,7 @@ _CHECK_FIRST = [
     "f19_host_budget",
     "ix_tfidf_keywords",
     "src_wet_extract",
+    "mm_audio_features",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

@@ -1014,3 +1014,34 @@ def test_frame_sample_offsets(spark):
     ]
     assert got[8] == [(0, 64, 0)]
     assert got[9] == [(0, 64, 0)]
+
+
+def test_audio_features_pinned_and_twin(spark):
+    import duckdb
+    from bingcrawler_spark.dataops import multimodal as MM
+
+    docs = spark.createDataFrame([(d,) for d in range(8)], "doc_id long")
+    out = MM.audio_features(MM.pack_audio_frames(docs)).collect()
+    # doc d has exactly 1 + d%4 frames of 160 samples
+    frames = {}
+    for r in out:
+        frames.setdefault(r["doc_id"], set()).add(r["frame"])
+    assert {d: len(f) for d, f in frames.items()} == {
+        d: 1 + d % 4 for d in range(8)}
+    # hand-check doc 0 frame 0: s_i = (i*37) % 1024 - 512
+    import math
+    s = [(i * 37) % 1024 - 512 for i in range(160)]
+    r0 = next(r for r in out if r["doc_id"] == 0 and r["frame"] == 0)
+    assert r0["peak"] == max(abs(x) for x in s)
+    assert r0["zcr"] == sum(1 for a, b in zip(s, s[1:]) if a * b < 0)
+    rms = math.sqrt(sum(x * x for x in s) / len(s))
+    assert r0["rms_e4"] == math.floor(rms * 10_000 + 0.5)
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            MM.audio_features_sql("SELECT doc_id FROM docs")
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in out) == want

@@ -716,3 +716,86 @@ def script_detect_sql(
            {chain} AS script
     FROM c
     """
+
+
+# ------------------------------------------------------ character entropy
+
+
+def char_entropy(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Shannon entropy of the character distribution per doc, e4
+    fixed-point — the gibberish/keyboard-mash detector class of quality
+    signal (very low entropy = repeated-char runs / template junk, very
+    high = base64 blobs or minified payloads; organic prose bands in the
+    middle).  Complements compression_ratio with a closed-form signal
+    the DuckDB oracle can re-derive exactly.
+
+    Determinism contract shared with the SQL twin: H = ln(n) −
+    (Σ c·ln c)/n with the sum accumulated LEFT-TO-RIGHT in character-
+    sorted order (both engines call the same host libm, so the float
+    stream is bit-identical).  Arrow-batched mapInPandas, per-row,
+    shuffle-free."""
+
+    def run(batches):
+        import math
+        from collections import Counter
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, t in zip(pdf[id_col], pdf[text_col]):
+                t = t or ""
+                n = len(t)
+                cnt = Counter(t)
+                if n <= 1:
+                    e4 = 0
+                else:
+                    acc = 0.0
+                    for ch in sorted(cnt):
+                        c = cnt[ch]
+                        acc += float(c) * math.log(float(c))
+                    h = math.log(float(n)) - acc / n
+                    e4 = int(math.floor(h * 10_000 + 0.5))
+                rows.append((int(did), n, len(cnt), e4))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "n_chars", "distinct_chars", "entropy_e4"],
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run,
+        f"{id_col} bigint, n_chars bigint, distinct_chars bigint, "
+        "entropy_e4 bigint",
+    )
+
+
+def char_entropy_sql(
+    docs_sql: str, text_col: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin: same formula, same char-sorted sequential sum
+    (list(... ORDER BY ch) + list_reduce pins accumulation order)."""
+    return f"""
+    WITH d AS (
+      SELECT {id_col}, {text_col} AS t FROM ({docs_sql})
+    ), idx AS (
+      SELECT {id_col}, t, unnest(range(0, length(t))) AS i FROM d
+    ), freq AS (
+      SELECT {id_col}, substr(t, i + 1, 1) AS ch, count(*)::BIGINT AS c
+      FROM idx GROUP BY {id_col}, ch
+    ), agg AS (
+      SELECT {id_col}, sum(c)::BIGINT AS n, count(*)::BIGINT AS k,
+             list(c::DOUBLE * ln(c::DOUBLE) ORDER BY ch) AS terms
+      FROM freq GROUP BY {id_col}
+    )
+    SELECT d.{id_col},
+           coalesce(agg.n, 0)::BIGINT AS n_chars,
+           coalesce(agg.k, 0)::BIGINT AS distinct_chars,
+           CASE WHEN coalesce(agg.n, 0) <= 1 THEN 0
+                ELSE round((ln(agg.n::DOUBLE)
+                            - list_reduce(agg.terms, (a, b) -> a + b) / agg.n)
+                           * 10000)::BIGINT
+           END AS entropy_e4
+    FROM d LEFT JOIN agg USING ({id_col})
+    """

@@ -4350,6 +4350,21 @@ def ix_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_entropy",
+    TS.char_entropy_sql("SELECT doc_id, text FROM documents"),
+)
+def ts_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (e4 fixed-point,
+    char-sorted sequential float accumulation shared with the oracle) —
+    the gibberish / base64-blob / repeated-char quality gate class,
+    complementing ts_compression's zlib signal with one DuckDB can
+    re-derive exactly."""
+    return TS.char_entropy(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+
+
+@register(
     "mm_audio_features",
     MM.audio_features_sql("SELECT doc_id FROM documents"),
 )
@@ -4384,6 +4399,7 @@ _CHECK_FIRST = [
     "ix_tfidf_keywords",
     "src_wet_extract",
     "mm_audio_features",
+    "ts_entropy",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

@@ -1045,3 +1045,37 @@ def test_audio_features_pinned_and_twin(spark):
         ).fetchall()
     )
     assert sorted(tuple(r) for r in out) == want
+
+
+def test_char_entropy_pinned_and_twin(spark):
+    import duckdb
+    import math
+    from bingcrawler_spark.dataops import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),            # one symbol -> H = 0
+            (2, "abab"),            # two equiprobable -> H = ln 2
+            (3, "abcd"),            # four equiprobable -> H = ln 4
+            (4, "x"),               # single char -> 0 by contract
+            (5, "aab"),             # H = ln 3 - (2 ln 2)/3
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in TS.char_entropy(docs).collect()}
+    assert got[1]["entropy_e4"] == 0
+    assert got[2]["entropy_e4"] == math.floor(math.log(2) * 10_000 + 0.5)
+    assert got[3]["entropy_e4"] == math.floor(math.log(4) * 10_000 + 0.5)
+    assert got[4]["entropy_e4"] == 0 and got[4]["n_chars"] == 1
+    h5 = math.log(3) - (2 * math.log(2)) / 3
+    assert got[5]["entropy_e4"] == math.floor(h5 * 10_000 + 0.5)
+    assert got[3]["distinct_chars"] == 4
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            TS.char_entropy_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in TS.char_entropy(docs).collect()) == want

@@ -286,3 +286,108 @@ def upsample_plan_sql(
              AS epochs_e3
     FROM j, m
     """
+
+
+# ------------------------------------------------- split + leakage audit
+
+
+def split_assign(
+    docs: DataFrame, id_col: str = "doc_id", train: int = 900, val: int = 50
+) -> DataFrame:
+    """Deterministic train/val/test assignment from the md5 sample
+    bucket (train <900, val <950, test otherwise out of 1000) — the
+    split is a pure function of the id, so re-runs, late-arriving
+    shards, and both engines agree row-for-row."""
+    b = sample_bucket_col(id_col)
+    split = (
+        F.when(b < train, F.lit("train"))
+        .when(b < train + val, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(F.col(id_col).alias("doc"), split.alias("split"))
+
+
+def split_assign_sql(id_col: str = "doc_id") -> str:
+    return f"""CASE WHEN {sample_bucket_sql(id_col)} < 900 THEN 'train'
+         WHEN {sample_bucket_sql(id_col)} < 950 THEN 'val'
+         ELSE 'test' END"""
+
+
+def split_leakage(
+    docs: DataFrame,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split-leakage audit: near-duplicate pairs (MinHash-LSH verified
+    by exact Jaccard, same machinery as dd_minhash_lsh) that straddle
+    the train/val/test boundary — the classic eval-contamination bug a
+    training-data pipeline must count BEFORE shipping a split (a val doc
+    whose near-twin sits in train inflates eval).  Output: one row per
+    unordered split pair (split_a <= split_b lexicographically) with the
+    pair count and an is_leak flag for cross-split rows.
+
+    Scale shape: everything rides the banded pair join (no all-pairs);
+    the split labels broadcast-join onto the pair list by id."""
+    from bingcrawler_spark.dataops.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(
+        docs, k=k, bands=bands, min_jaccard_pct=min_jaccard_pct,
+        text_col=text_col, id_col=id_col,
+    ).select("doc_a", "doc_b")
+    assign = split_assign(docs, id_col)
+    j = (
+        pairs.join(
+            assign.select(F.col("doc").alias("doc_a"), F.col("split").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            assign.select(F.col("doc").alias("doc_b"), F.col("split").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .withColumn(
+            "is_leak", (F.col("split_a") != F.col("split_b")).cast("int")
+        )
+    )
+
+
+def split_leakage_sql(
+    docs_sql: str,
+    k: int = 16,
+    bands: int = 4,
+    min_jaccard_pct: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    from bingcrawler_spark.dataops.dedup import minhash_lsh_pairs_sql
+
+    pairs = minhash_lsh_pairs_sql(
+        docs_sql, k=k, bands=bands, min_jaccard_pct=min_jaccard_pct,
+        text_col=text_col, id_col=id_col,
+    )
+    return f"""
+    WITH pairs AS ({pairs}),
+    assign AS (
+      SELECT {id_col} AS doc, {split_assign_sql(id_col)} AS split
+      FROM ({docs_sql})
+    )
+    SELECT least(a.split, b.split) AS split_a,
+           greatest(a.split, b.split) AS split_b,
+           count(*)::BIGINT AS n_pairs,
+           (least(a.split, b.split) <> greatest(a.split, b.split))::INT
+             AS is_leak
+    FROM pairs p
+    JOIN assign a ON a.doc = p.doc_a
+    JOIN assign b ON b.doc = p.doc_b
+    GROUP BY 1, 2
+    """

@@ -1831,6 +1831,16 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.minhash_lsh_pairs(_docs_with_near_dups(spark, sf_dir))
 
 
+@register("ds_split_leakage", DS.split_leakage_sql(DOCS_NEAR_DUPS_SQL))
+def ds_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split-leakage audit: deterministic md5-bucket
+    split (900/50/50 of 1000) joined onto the MinHash-LSH near-dup pair
+    list — counts the eval-contamination pairs that straddle a split
+    boundary, the check a pipeline runs BEFORE shipping a split.  Rides
+    the same banded machinery as dd_minhash_lsh; no all-pairs shape."""
+    return DS.split_leakage(_docs_with_near_dups(spark, sf_dir))
+
+
 @register("dd_simhash_neardup", DD.simhash_neardup_pairs_sql(DOCS_NEAR_DUPS_SQL))
 def dd_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash60 banded near-dup pairs (pigeonhole LSH) + hamming verify."""
@@ -4400,6 +4410,7 @@ _CHECK_FIRST = [
     "src_wet_extract",
     "mm_audio_features",
     "ts_entropy",
+    "ds_split_leakage",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

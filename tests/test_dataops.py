@@ -1079,3 +1079,32 @@ def test_char_entropy_pinned_and_twin(spark):
         ).fetchall()
     )
     assert sorted(tuple(r) for r in TS.char_entropy(docs).collect()) == want
+
+
+def test_split_leakage_counts(spark):
+    import duckdb
+    from bingcrawler_spark.dataops import sampling as DS
+
+    # 3 near-identical doc groups; shared long texts so minhash pairs fire
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the crawler collects pages for the corpus ")
+    rows = []
+    for g in range(3):
+        for v in range(3):
+            rows.append((g * 10 + v, base + f"group {g} " + ("extra " if v == 2 else "")))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = DS.split_leakage(docs).collect()
+    # every pair accounted for; leak flag marks cross-split rows
+    assert sum(r["n_pairs"] for r in out) > 0
+    for r in out:
+        assert r["is_leak"] == (1 if r["split_a"] != r["split_b"] else 0)
+        assert r["split_a"] <= r["split_b"]
+    con = duckdb.connect()
+    con.register("docs", docs.toPandas())
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            DS.split_leakage_sql("SELECT doc_id, text FROM docs")
+        ).fetchall()
+    )
+    assert sorted(tuple(r) for r in out) == want

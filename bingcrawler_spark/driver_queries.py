@@ -2418,6 +2418,33 @@ def p19_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "p20_hreflang",
+    """
+    SELECT doc_id, pos::INT AS pos,
+           (['en', 'de', 'ja', 'x-default'])[pos + 1] AS hreflang,
+           'http://www.example/' || (['en', 'de', 'ja', 'en'])[pos + 1]
+             || '/p/' || (doc_id // 3)::VARCHAR AS href,
+           (pos = 3)::INT AS is_default
+    FROM documents, (SELECT unnest(range(0, 4)) AS pos) t
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def p20_hreflang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hreflang alternate-cluster extraction (the i18n sibling of
+    p19_rel_canonical): language variants of one logical page group via
+    <link rel="alternate" hreflang=..> so the crawler fetches each
+    locale once.  Pack builds 3-doc clusters with x-default; extraction
+    is regexp_extract_all + posexplode (JVM, shuffle-free); the oracle
+    re-derives all four annotation rows per tagged page."""
+    from bingcrawler_spark.functions import extract as EX
+
+    pages = EX.pack_hreflang_pages(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    return EX.hreflang_extract(pages)
+
+
+@register(
     "ev_asof_join",
     """
     WITH quotes AS (
@@ -4411,6 +4438,7 @@ _CHECK_FIRST = [
     "mm_audio_features",
     "ts_entropy",
     "ds_split_leakage",
+    "p20_hreflang",
     "gr_seed_distance",
     "gr_trustrank",
     "dd_cdc_chunks",

@@ -326,3 +326,85 @@ def rel_canonical_extract(
         (has & (resolved == F.col(url_col))).cast("int").alias("is_self"),
         (has & (canon_host != host)).cast("int").alias("cross_host"),
     )
+
+
+# ------------------------------------------------------ hreflang channel
+
+
+def pack_hreflang_pages(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Synthetic pages exercising hreflang alternate clusters: groups of
+    3 docs are one logical page in (en, de, ja); each variant lists ALL
+    three alternates plus x-default, except id%7==0 pages which carry no
+    alternates at all."""
+    did = F.col(id_col)
+    gid = F.expr(f"div({id_col}, 3)")
+    langs = ["en", "de", "ja"]
+
+    def page_url(lang):
+        return F.concat(
+            F.lit("http://www.example/"), F.lit(lang), F.lit("/p/"),
+            gid.cast("string"),
+        )
+
+    links = F.concat(
+        *[
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="'),
+                F.lit(lang),
+                F.lit('" href="'),
+                page_url(lang),
+                F.lit('">'),
+            )
+            for lang in langs
+        ],
+        F.lit('<link rel="alternate" hreflang="x-default" href="'),
+        page_url("en"),
+        F.lit('">'),
+    )
+    own = (
+        F.when(did % 3 == 0, F.lit("en"))
+        .when(did % 3 == 1, F.lit("de"))
+        .otherwise(F.lit("ja"))
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(did % 7 == 0, F.lit("")).otherwise(links),
+        F.lit("</head><body><p>"),
+        F.substring(F.col(text_col), 1, 40),
+        F.lit("</p></body></html>"),
+    )
+    return docs.select(
+        did.alias(id_col),
+        F.concat(
+            F.lit("http://www.example/"), own, F.lit("/p/"), gid.cast("string")
+        ).alias("url"),
+        html.alias("html"),
+    )
+
+
+def hreflang_extract(pages, html_col: str = "html", id_col: str = "doc_id"):
+    """Explode <link rel="alternate" hreflang=..> annotations — the
+    signal that groups language variants of one logical page so an
+    international crawler fetches the cluster once per language instead
+    of treating variants as unrelated URLs (the reference has no i18n
+    layer; its Bing pages are single-locale).  One row per (page,
+    hreflang annotation); is_default flags x-default.  Pure JVM
+    regexp_extract_all + posexplode, shuffle-free."""
+    pairs = F.regexp_extract_all(
+        F.col(html_col),
+        F.lit('<link rel="alternate" hreflang="([^"]*)" href="([^"]*)">'),
+        0,
+    )
+    df = pages.select(
+        id_col,
+        F.posexplode(pairs).alias("pos", "tag"),
+    )
+    lang = F.regexp_extract(F.col("tag"), 'hreflang="([^"]*)"', 1)
+    href = F.regexp_extract(F.col("tag"), 'href="([^"]*)"', 1)
+    return df.select(
+        id_col,
+        F.col("pos").cast("int").alias("pos"),
+        lang.alias("hreflang"),
+        href.alias("href"),
+        (lang == "x-default").cast("int").alias("is_default"),
+    )

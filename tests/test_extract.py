@@ -202,3 +202,24 @@ def test_rel_canonical_pack_roundtrip(spark):
         assert r["cross_host"] == (1 if d % 5 == 2 else 0)
         if d % 5 in (1, 4):  # absolute and relative arms resolve identically
             assert r["canonical"] == f"http://h{d % 20}.example/canon/{d // 5}"
+
+
+def test_hreflang_extract_and_pack(spark):
+    docs = spark.createDataFrame(
+        [(i, "body") for i in range(9)], "doc_id long, text string"
+    )
+    pages = EX.pack_hreflang_pages(docs)
+    rows = EX.hreflang_extract(pages).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # d%7==0 pages (0 and 7) carry no annotations
+    assert 0 not in by_doc and 7 not in by_doc
+    for d, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r["pos"])
+        assert [r["hreflang"] for r in rs] == ["en", "de", "ja", "x-default"]
+        assert rs[3]["is_default"] == 1 and rs[3]["href"].endswith(f"/en/p/{d // 3}")
+        # all three language variants of a cluster list identical alternates
+    a = {tuple(sorted((r["hreflang"], r["href"]) for r in by_doc[d]))
+         for d in (3, 4, 5)}
+    assert len(a) == 1

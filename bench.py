@@ -87,6 +87,11 @@ HEADLINE = [
     "src_jsonl_manifest",
     "ix_tfidf_keywords",
     "src_wet_extract",
+    "mm_audio_features",
+    "ts_entropy",
+    "p19_rel_canonical",
+    "p20_hreflang",
+    "f19_host_budget",
 ]
 
 

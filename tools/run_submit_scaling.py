@@ -245,12 +245,13 @@ def main() -> None:
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # append per rep, not at campaign end: a killed/crashed campaign
+        # must not lose the reps that already ran (each leg is ~5-20 min)
+        os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
+        with open(os.path.join(HERE, "BENCH", "submit_scaling.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
     med = round(statistics.median(r["efficiency"] for r in rows), 3)
     print(json.dumps({"submit_scaling_median_efficiency": med, "reps": reps}))
-    os.makedirs(os.path.join(HERE, "BENCH"), exist_ok=True)
-    with open(os.path.join(HERE, "BENCH", "submit_scaling.jsonl"), "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -755,7 +755,15 @@ def main() -> None:
         del compact["queries"][fastest]
         compact["queries_shown"] = f"{len(compact['queries'])}/{len(qtimes)} slowest"
         line = json.dumps(compact)
-    assert len(line) < 1500, f"bench line grew to {len(line)} bytes — trim it"
+    # never abort here: raising would discard the whole (possibly
+    # 40-minute) run — exactly what this shedding exists to prevent.
+    # If the non-query fields alone overflow, drop whole blocks.
+    for block in ("queries", "scaling", "crawl"):
+        if len(line) < 1450:
+            break
+        compact.pop(block, None)
+        compact[f"{block}_shed"] = "see BENCH/last_run_full.json"
+        line = json.dumps(compact)
     print(line)
     sys.stdout.flush()
     os.makedirs("BENCH", exist_ok=True)

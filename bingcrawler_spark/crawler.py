@@ -324,6 +324,12 @@ class CrawlEngine:
             self.store.rollback_to_wave("seen", wave - 1)
             self.store.rollback_to_wave("ref_edges", wave - 1)
             self.store.rollback_rows_to_wave("wave_metrics", wave - 1)
+        # mark the wave in-flight: if anything below raises after a partial
+        # promote (disk-full mid-commit, Ctrl-C in a REPL caller), a retry
+        # in the SAME process must roll back too — appends are not
+        # idempotent, and without this the retry would double-append the
+        # wave's seen/ref_edges deltas.  Cleared only on the clean exits.
+        self._needs_rollback = True
         sizes = self._load_sizes()
         frontier = self.store.read("frontier")
         seen = self.store.read("seen")  # union of append deltas
@@ -519,6 +525,8 @@ class CrawlEngine:
             self._needs_rollback = False
             return {"wave": wave, "n_popped": 0, "done": True}
 
+        _t = _tm()  # reset: frontier_commit clocks the promotes alone,
+        # not the staging span already reported as writes_staged
         self.store.promote(seen_tok, wave)
         self.store.promote(edges_tok, wave)
         frontier_snap = self.store.promote(frontier_tok, wave)

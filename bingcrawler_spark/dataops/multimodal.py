@@ -765,11 +765,20 @@ def frame_sample(
     fan-out is n_frames/every, media bytes are never touched, so the
     shuffle carries only (media_id, idx) pairs if a downstream group
     needs them."""
+    # n_frames = 0 (empty/corrupt video) must yield zero rows like the
+    # DuckDB twin's range(0, 0, every) — unguarded, sequence(0, -1, every)
+    # raises at runtime and kills the query on the first such row.
+    idx_seq = F.when(
+        F.col("n_frames") > 0,
+        F.sequence(
+            F.lit(0).cast("long"),
+            F.col("n_frames").cast("long") - 1,
+            F.lit(every).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     return media.select(
         "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every))
-        ).alias("frame_idx"),
+        F.explode(idx_seq).alias("frame_idx"),
     ).select(
         "media_id",
         F.col("frame_idx").cast("int").alias("frame_idx"),

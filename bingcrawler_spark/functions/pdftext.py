@@ -60,8 +60,23 @@ def _iter_stream_bodies(data: bytes):
         if not m:
             return
         start = m.end()
+        # walk back to the MATCHING '<<' by depth, not the innermost one:
+        # stream dicts routinely nest (/DecodeParms << /Predictor 12 >>),
+        # and taking the innermost '<<' would hide /Filter from the checks
+        # below, feeding deflate bytes to the text scanner as garbage.
         dict_end = data.rfind(b">>", 0, m.start())
-        dict_start = data.rfind(b"<<", 0, dict_end) if dict_end != -1 else -1
+        dict_start, depth, i = -1, 1, dict_end
+        while depth and i > 0:
+            open_p = data.rfind(b"<<", 0, i)
+            close_p = data.rfind(b">>", 0, i)
+            if open_p == -1:
+                break
+            if close_p > open_p:
+                depth, i = depth + 1, close_p
+            else:
+                depth, i = depth - 1, open_p
+                if depth == 0:
+                    dict_start = open_p
         d = data[dict_start:dict_end] if dict_start != -1 else b""
         lm = _LENGTH_RE.search(d)
         if lm:

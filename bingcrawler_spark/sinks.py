@@ -28,13 +28,29 @@ from pyspark.sql import functions as F
 # JSON string-escape table, applied in this exact order in both engines
 # (backslash first, or later rules would double-escape its output).
 _ESCAPES = [("\\", "\\\\"), ('"', '\\"'), ("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")]
+# RFC 8259 forbids RAW control chars inside JSON strings; the remaining
+# C0 set (rare in web text, but one \x0c form-feed breaks a consumer's
+# json.loads on the whole shard line) escapes as \u00XX.
+_CTRL_ESCAPES = [
+    (chr(c), "\\u%04x" % c) for c in range(0x20) if chr(c) not in "\n\r\t"
+]
+_CTRL_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]"
+# token split: an EXPLICIT class, not \s — Java's \s includes \x0B,
+# RE2's (DuckDB's) does not, so \s silently diverges on vertical tabs
+_WS_RE = "[ \\t\\n\\r\\f\\x0B]+"
 
 
 def _json_escape(col: Column) -> Column:
-    out = col
+    fast = col
     for raw, esc in _ESCAPES:
-        out = F.replace(out, F.lit(raw), F.lit(esc))
-    return out
+        fast = F.replace(fast, F.lit(raw), F.lit(esc))
+    # the 27-replace control-char chain costs ~27 string passes, so gate
+    # it behind one regex test — clean rows (virtually all of a 100 TB
+    # corpus) pay a single scan, dirty rows pay the full chain
+    slow = fast
+    for raw, esc in _CTRL_ESCAPES:
+        slow = F.replace(slow, F.lit(raw), F.lit(esc))
+    return F.when(col.rlike(_CTRL_RE), slow).otherwise(fast)
 
 
 def _shard_col(id_col: Column, n_shards: int) -> Column:
@@ -64,7 +80,7 @@ def jsonl_lines(
         _json_escape(text),
         F.lit('"}'),
     )
-    n_tokens = F.size(F.split(F.trim(text), r"\s+"))
+    n_tokens = F.size(F.split(F.trim(text), _WS_RE))
     return docs.select(
         did.alias("doc_id"),
         _shard_col(did, n_shards).alias("shard_id"),
@@ -110,19 +126,29 @@ def jsonl_manifest_sql(
     # DuckDB single-quoted literals take backslashes verbatim; control
     # chars are spelled chr(); only ' needs doubling.
     def lit(s: str) -> str:
-        return {"\n": "chr(10)", "\r": "chr(13)", "\t": "chr(9)"}.get(
-            s, "'" + s.replace("'", "''") + "'"
-        )
+        if len(s) == 1 and ord(s) < 0x20:
+            return f"chr({ord(s)})"
+        return "'" + s.replace("'", "''") + "'"
 
-    esc = text_col
-    for raw, out in _ESCAPES:
-        esc = f"replace({esc}, {lit(raw)}, {lit(out)})"
+    def chain(expr: str, table: list[tuple[str, str]]) -> str:
+        for raw, out in table:
+            expr = f"replace({expr}, {lit(raw)}, {lit(out)})"
+        return expr
+
+    fast = chain(text_col, _ESCAPES)
+    # same fast/slow gate as the Spark side (identical output either way;
+    # the gate only matters for cost, but keeping the shapes twinned makes
+    # the cross-engine contract auditable)
+    esc = (
+        f"CASE WHEN regexp_matches({text_col}, '{_CTRL_RE}') "
+        f"THEN {chain(fast, _CTRL_ESCAPES)} ELSE {fast} END"
+    )
     return f"""
     WITH lines AS (
       SELECT {id_col} AS doc_id,
              ('0x' || substr(md5({id_col}::VARCHAR), 1, 2))::INT % {n_shards}
                AS shard_id,
-             len(regexp_split_to_array(trim({text_col}), '\\s+')) AS n_tokens,
+             len(regexp_split_to_array(trim({text_col}), '{_WS_RE}')) AS n_tokens,
              '{{"id":' || {id_col}::VARCHAR || ',"text":"' || {esc} || '"}}'
                AS line
       FROM ({docs_sql})

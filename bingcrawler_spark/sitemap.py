@@ -124,11 +124,16 @@ def parse_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
                         if not fields.get("loc"):
                             continue
                         prio = fields.get("priority", "")
-                        prio_e1 = (
-                            int(round(float(prio) * 10))
-                            if prio.strip()
-                            else -1
-                        )
+                        try:
+                            prio_e1 = (
+                                int(round(float(prio) * 10))
+                                if prio.strip()
+                                else -1
+                            )
+                        except ValueError:
+                            # non-numeric <priority> ('high', locale '0,8'):
+                            # degrade the field, not the task
+                            prio_e1 = -1
                         rows.append(
                             (
                                 "url",

@@ -152,7 +152,12 @@ def _split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         for ln in lines[1:]:
             k, _, v = ln.partition(":")
             hdrs[k.strip().lower()] = v.strip()
-        clen = int(hdrs.get("content-length", "0"))
+        try:
+            clen = int(hdrs.get("content-length", "0"))
+        except ValueError:
+            return  # malformed length: records past it can't be located —
+            # stop this stream, don't fail the task (real buckets carry
+            # the occasional mangled header)
         body_start = end_hdr + 4
         yield hdrs, raw[body_start : body_start + clen]
         pos = body_start + clen
@@ -164,7 +169,12 @@ def _gunzip_members(blob: bytes) -> bytes:
     out, data = [], blob
     while data[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break  # truncated/corrupt member (cut-off final member is
+            # routine in real .warc.gz buckets): keep the records that
+            # inflated cleanly, skip the rest of this blob
         data = d.unused_data
     return b"".join(out)
 

@@ -489,3 +489,46 @@ def test_host_budget_hamilton_exact(spark):
     assert sorted(
         tuple(r) for r in FR.host_budget(hosts, 10).collect()
     ) == want
+
+
+def test_in_process_retry_after_partial_commit(spark):
+    """A promote that fails MID-COMMIT (seen delta landed, ref_edges and
+    frontier did not — e.g. disk-full) followed by a retry in the SAME
+    process must roll the partial delta back before re-running the wave;
+    appends are not idempotent, so skipping the rollback would
+    double-append every popped url's seen row."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    wh_a = tempfile.mkdtemp(prefix="wh_ra_")
+    a = _engine(spark, wh_a)
+    a.bootstrap(seed_urls(N, H))
+    a.run(3)
+
+    wh_b = tempfile.mkdtemp(prefix="wh_rb_")
+    b = _engine(spark, wh_b)
+    b.bootstrap(seed_urls(N, H))
+    b.run(2)
+
+    real_promote = b.store.promote
+
+    def failing(token, wave, meta=None):
+        if token["table"] == "ref_edges":
+            raise OSError("injected: disk full mid-commit")
+        return real_promote(token, wave, meta)
+
+    b.store.promote = failing
+    with pytest.raises(OSError):
+        b.run_wave()
+    b.store.promote = real_promote
+    b.run_wave()  # same-process retry
+
+    key = lambda df: {  # noqa: E731
+        (r["url"], r["weight"], r["depth"], tuple(r["referrers"]))
+        for r in df.collect()
+    }
+    assert key(a.seen()) == key(b.seen())
+    assert key(a.frontier()) == key(b.frontier())
+    log = b.pop_log().groupBy("url").count()
+    assert log.where(F.col("count") > 1).count() == 0
+    assert [r["wave"] for r in b.metrics().orderBy("wave").collect()] == [1, 2, 3]

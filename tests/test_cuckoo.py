@@ -91,3 +91,20 @@ def test_engine_parity_cuckoo_vs_bloom(spark):
             {k: w[k] for k in keys} for w in eng.run(3)
         ]
     assert runs["bloom"] == runs["cuckoo"]
+
+
+def test_alt_bucket_scalar_matches_vectorized():
+    """The kick path's scalar splitmix64 twin must place every key in the
+    same bucket as the vectorized form used for batch inserts."""
+    import numpy as np
+
+    from bingcrawler_spark.cuckoo import _alt_bucket, _alt_bucket_int
+
+    rng = np.random.RandomState(7)
+    fp = rng.randint(1, 1 << 16, size=500).astype(np.int32)
+    i1 = rng.randint(0, 1 << 20, size=500).astype(np.int64)
+    mask = (1 << 20) - 1
+    vec = _alt_bucket(fp, i1, mask).tolist()
+    assert vec == [
+        _alt_bucket_int(int(f), int(b), mask) for f, b in zip(fp, i1)
+    ]

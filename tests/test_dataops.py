@@ -1108,3 +1108,17 @@ def test_split_leakage_counts(spark):
         ).fetchall()
     )
     assert sorted(tuple(r) for r in out) == want
+
+
+def test_frame_sample_zero_frames_yields_no_rows(spark):
+    """n_frames = 0 (empty/corrupt video) must produce zero frame rows,
+    matching the DuckDB twin's range(0, 0, k) — not a runtime error from
+    sequence(0, -1, k)."""
+    media = spark.createDataFrame(
+        [(1, 48), (2, 0), (3, 1)], "media_id long, n_frames long"
+    )
+    got = sorted(
+        (r["media_id"], r["frame_idx"])
+        for r in MM.frame_sample(media, every=24).collect()
+    )
+    assert got == [(1, 0), (1, 24), (3, 0)]

@@ -74,3 +74,19 @@ def test_structural_completeness():
     for k, row in enumerate(table, start=1):
         off = int(row.split(b" ")[0])
         assert pdf[off:].startswith(f"{k} 0 obj".encode())
+
+
+def test_nested_stream_dict_finds_outer_filter():
+    """/DecodeParms << ... >> nests a dict INSIDE the stream dict; the
+    matching '<<' must be found by depth, or /Filter is hidden and the
+    deflate bytes get scanned as operator text (garbage, not None)."""
+    import zlib
+
+    content = zlib.compress(b"BT (nested) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Filter /FlateDecode "
+        b"/DecodeParms << /Predictor 1 /Columns 4 >> /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream endobj\n%%EOF"
+    )
+    assert py_pdf_text(pdf) == "nested\n"

@@ -22,6 +22,10 @@ _DOCS = [
     (6, 'mix: "\\" then \n then \\"'),
     (7, ''),
     (8, '  padded  '),
+    # RFC 8259: raw C0 control chars are illegal inside JSON strings —
+    # these rows break json.loads unless escaped as \u00XX in BOTH engines
+    (9, 'form\x0cfeed and back\x08space'),
+    (10, 'bell\x07 escape\x1b unit-sep\x1f vtab\x0b'),
 ]
 
 

@@ -55,3 +55,21 @@ def test_seed_projection_weights(spark):
         for r in SM.sitemap_seeds(SM.parse_sitemap_blobs(blobs)).collect()
     }
     assert seeds == {("u1", 109), ("u2", 100)}
+
+
+def test_unparseable_priority_degrades_to_field_default(spark):
+    """'high' or locale '0,8' in <priority> must degrade that FIELD to -1,
+    not kill the task — same containment as a malformed blob."""
+    blobs = spark.createDataFrame(
+        [
+            (b"<urlset><url><loc>u1</loc><priority>high</priority></url>"
+             b"<url><loc>u2</loc><priority>0,8</priority></url>"
+             b"<url><loc>u3</loc><priority>0.8</priority></url></urlset>",),
+        ],
+        "xml binary",
+    )
+    got = {
+        (r["loc"], r["priority_e1"])
+        for r in SM.parse_sitemap_blobs(blobs).collect()
+    }
+    assert got == {("u1", -1), ("u2", -1), ("u3", 8)}

@@ -176,3 +176,24 @@ def test_wet_convert_roundtrip_spark(spark, sf_dir):
     wet = W.parse_wet_blobs(W.pack_wet(W.pack_warc(docs, recs_per_blob=16)))
     got = {tuple(r) for r in wet.collect()}
     assert got == expected
+
+
+def test_corrupt_gzip_member_keeps_clean_records():
+    """A corrupt/truncated member mid-archive (routine in real .warc.gz
+    buckets) must yield the records that inflated cleanly, not raise."""
+    r1 = W.build_record("https://g.example/1", "2024-01-01T00:00:00Z", b"one")
+    r2 = W.build_record("https://g.example/2", "2024-01-01T00:00:01Z", b"two")
+    bad = bytearray(gzip.compress(r2, mtime=0))
+    bad[10:-8] = b"\xff" * (len(bad) - 18)  # mangle the whole deflate body
+    raw = W._gunzip_members(gzip.compress(r1, mtime=0) + bytes(bad))
+    assert raw == r1
+    assert [h["warc-target-uri"] for h, _ in W._split_records(raw)] == [
+        "https://g.example/1"
+    ]
+
+
+def test_malformed_content_length_stops_stream_not_task():
+    good = W.build_record("https://g.example/3", "2024-01-01T00:00:02Z", b"ok")
+    bad = b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: abc\r\n\r\nbody"
+    recs = list(W._split_records(good + bad))
+    assert [h["warc-target-uri"] for h, _ in recs] == ["https://g.example/3"]

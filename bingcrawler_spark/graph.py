@@ -60,21 +60,42 @@ def host_pagerank(
     |hosts|-sized relations, corpus never re-read.  Dangling hosts
     (no outlinks) keep contributing nothing; hosts with no inlinks
     settle at the teleport mass, exactly as the SQL oracle defines."""
-    ranks = _damped_rank(edges, n_iter, checkpoint_every)
-    ow = (
-        edges.groupBy("s", "d")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("s")
-        .agg(F.sum("cnt").alias("out_w"))
-    )
-    return (
+    ge, ow, hosts = _grouped_edges(edges)
+    ranks = _damped_loop(ge, hosts, n_iter, checkpoint_every, None)
+    out = (
         ranks.join(ow, ranks["host"] == ow["s"], "left")
         .select(
             F.col("host").cast("int").alias("host"),
             F.col("r").alias("rank_fp"),
             F.coalesce(F.col("out_w"), F.lit(0)).cast("long").alias("out_w"),
         )
+        # eager: materialize the |hosts|-row result so the grouped-edge /
+        # host caches can be released NOW instead of leaking into the
+        # session (a long-lived driver running the suite would otherwise
+        # accumulate orphaned storage per query)
+        .localCheckpoint(eager=True)
     )
+    for c in (ge, ow, hosts):
+        c.unpersist()
+    return out
+
+
+def _grouped_edges(edges: DataFrame):
+    """Collapse the multigraph ONCE into the three relations every
+    iterative chain consumes: grouped edges with folded out-weight
+    (s, d, cnt, out_w), per-src out-weight (s, out_w), and the host
+    universe.  All persisted; callers unpersist after eager-checkpointing
+    their |hosts|-row result."""
+    g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    ow = g.groupBy("s").agg(F.sum("cnt").alias("out_w")).persist()
+    ge = g.join(ow, "s").persist()
+    hosts = (
+        edges.select(F.col("s").alias("host"))
+        .union(edges.select(F.col("d").alias("host")))
+        .distinct()
+        .persist()
+    )
+    return ge, ow, hosts
 
 
 def _damped_rank(
@@ -86,15 +107,21 @@ def _damped_rank(
     """The damped int64 fixed-point loop shared by host_pagerank
     (uniform teleport, seed_mod=None) and host_trustrank (teleport and
     init mass restricted to hosts where host % seed_mod == 0)."""
-    g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt"))
-    ow = g.groupBy("s").agg(F.sum("cnt").alias("out_w"))
-    ge = g.join(ow, "s").persist()
-    hosts = (
-        edges.select(F.col("s").alias("host"))
-        .union(edges.select(F.col("d").alias("host")))
-        .distinct()
-        .persist()
-    )
+    ge, ow, hosts = _grouped_edges(edges)
+    ranks = _damped_loop(ge, hosts, n_iter, checkpoint_every, seed_mod)
+    ranks = ranks.localCheckpoint(eager=True)
+    for c in (ge, ow, hosts):
+        c.unpersist()
+    return ranks
+
+
+def _damped_loop(
+    ge: DataFrame,
+    hosts: DataFrame,
+    n_iter: int,
+    checkpoint_every: int,
+    seed_mod: int | None,
+) -> DataFrame:
     if seed_mod is None:
         init = F.lit(INIT_FP)
         tele = F.lit(TELEPORT_FP)
@@ -163,6 +190,7 @@ def seed_distance(
         .distinct()
         .persist()
     )
+    rounds: list[DataFrame] = []  # per-round caches, released on exit
     dist = hosts.select(
         "host",
         F.when(F.col("host") % seed_mod == 0, F.lit(0))
@@ -172,6 +200,7 @@ def seed_distance(
     )
     for i in range(n_iter):
         dist = dist.persist()
+        rounds.append(dist)
         relax = (
             g.join(dist.withColumnRenamed("host", "sh"), F.col("sh") == g["s"])
             .select(F.col("d"), (F.col("dist") + 1).alias("nd"))
@@ -192,13 +221,16 @@ def seed_distance(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
             dist = dist.localCheckpoint(eager=True)
-    return dist.select(
+    out = dist.select(
         F.col("host").cast("int").alias("host"),
         F.when(F.col("dist") >= UNREACHED_FP, F.lit(-1))
         .otherwise(F.col("dist"))
         .cast("long")
         .alias("dist"),
-    )
+    ).localCheckpoint(eager=True)
+    for c in (g, hosts, *rounds):
+        c.unpersist()
+    return out
 
 
 def seed_distance_sql(
@@ -253,21 +285,31 @@ def host_trustrank(
     integer and therefore partition- and engine-exact.  Scale shape:
     identical to host_pagerank (|hosts|-sized shuffles per iteration,
     corpus read once into the grouped edge list)."""
-    pr = host_pagerank(edges, n_iter=n_iter, checkpoint_every=checkpoint_every)
-    tr = _damped_rank(
-        edges,
-        n_iter=n_iter,
-        checkpoint_every=checkpoint_every,
-        seed_mod=seed_mod,
-    ).select("host", F.col("r").alias("trust_fp"))
-    return pr.join(tr, "host").select(
-        F.col("host").cast("int").alias("host"),
-        "rank_fp",
-        "trust_fp",
-        F.expr(
-            "div(greatest(rank_fp - trust_fp, 0) * 1000000, rank_fp)"
-        ).alias("spam_mass_ppm"),
+    # the grouped edge list and host universe are built ONCE and shared
+    # by both damped chains — calling host_pagerank + _damped_rank here
+    # would re-aggregate the edge multigraph three times over
+    ge, ow, hosts = _grouped_edges(edges)
+    pr = _damped_loop(ge, hosts, n_iter, checkpoint_every, None).select(
+        "host", F.col("r").alias("rank_fp")
     )
+    tr = _damped_loop(ge, hosts, n_iter, checkpoint_every, seed_mod).select(
+        "host", F.col("r").alias("trust_fp")
+    )
+    out = (
+        pr.join(tr, "host")
+        .select(
+            F.col("host").cast("int").alias("host"),
+            "rank_fp",
+            "trust_fp",
+            F.expr(
+                "div(greatest(rank_fp - trust_fp, 0) * 1000000, rank_fp)"
+            ).alias("spam_mass_ppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for c in (ge, ow, hosts):
+        c.unpersist()
+    return out
 
 
 def host_trustrank_sql(
@@ -338,12 +380,14 @@ def host_hits(
         .distinct()
         .persist()
     )
+    halves: list[DataFrame] = []  # per-half-step caches, released on exit
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
         # df is referenced twice (max reduce + the divide); persist so the
         # raw half-step computes once — unpersisted, each half-step would
         # recompute its whole ancestry per reference (2^half-steps blowup).
         df = df.persist()
+        halves.append(df)
         m = df.agg(F.greatest(F.max(col), F.lit(1)).alias("m"))
         return df.crossJoin(F.broadcast(m)).select(
             "host", F.expr(f"div({col} * {INIT_FP}, m)").alias(col)
@@ -381,11 +425,14 @@ def host_hits(
             # from a leaf (|hosts|-sized) instead of the full join history.
             hub = hub.localCheckpoint(eager=True)
             auth = auth.localCheckpoint(eager=True)
-    return hub.join(auth, "host").select(
+    out = hub.join(auth, "host").select(
         F.col("host").cast("int").alias("host"),
         F.col("h").alias("hub_fp"),
         F.col("a").alias("auth_fp"),
-    )
+    ).localCheckpoint(eager=True)
+    for c in (g, hosts, *halves):
+        c.unpersist()
+    return out
 
 
 def host_hits_sql(docs_sql: str, n_iter: int = 3, n_hosts: int = 32) -> str:
@@ -579,7 +626,7 @@ def link_spam_signals(edges: DataFrame) -> DataFrame:
         .union(edges.select(F.col("d").alias("host")))
         .distinct()
     )
-    return (
+    out = (
         hosts.join(out_deg, hosts["host"] == out_deg["s"], "left")
         .drop("s")
         .join(in_deg, hosts["host"] == in_deg["d"], "left")
@@ -597,7 +644,10 @@ def link_spam_signals(edges: DataFrame) -> DataFrame:
                 " greatest(coalesce(out_w, 0), 1))"
             ).alias("recip_ppm"),
         )
+        .localCheckpoint(eager=True)
     )
+    g.unpersist()
+    return out
 
 
 def link_spam_sql(docs_sql: str, n_hosts: int = 32) -> str:

@@ -215,10 +215,12 @@ def phrase_match(docs: DataFrame, phrase: list[str]) -> DataFrame:
         cur = cur.join(
             nxt, (cur["doc_id"] == nxt["d2"]) & (cur["pos"] == nxt["p2"])
         ).select("doc_id", "pos")
-    return cur.groupBy("doc_id").agg(
+    out = cur.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_matches"),
         F.min("pos").cast("long").alias("first_pos"),
-    )
+    ).localCheckpoint(eager=True)  # materialize, then release the cache
+    post.unpersist()
+    return out
 
 
 def phrase_match_sql(from_docs: str, phrase: list[str]) -> str:
@@ -375,7 +377,7 @@ def spell_candidates(
     from pyspark.sql.window import Window as W
 
     w = W.partitionBy("query").orderBy(F.col("freq").desc(), F.col("cand").asc())
-    return (
+    out = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= topk)
         .select(
@@ -385,7 +387,10 @@ def spell_candidates(
             F.col("dist").cast("int").alias("dist"),
             F.col("freq").cast("long").alias("freq"),
         )
+        .localCheckpoint(eager=True)  # materialize, then release the cache
     )
+    vocab.unpersist()
+    return out
 
 
 def spell_candidates_sql(

@@ -91,7 +91,10 @@ def pack_sitemaps(docs: DataFrame, n_hosts: int = 32) -> DataFrame:
         parts.append("</sitemapindex>")
         yield pd.DataFrame({"host": [-1], "xml": ["\n".join(parts).encode()]})
 
-    index = per_host.select("host").coalesce(1).mapInPandas(
+    # derive the index's host list from the cheap `entries` relation —
+    # reading per_host here would execute the groupBy + XML
+    # applyInPandas build a second time just to list host ids
+    index = entries.select("host").distinct().coalesce(1).mapInPandas(
         build_index, "host int, xml binary"
     )
     return per_host.unionByName(index)

@@ -202,10 +202,10 @@ def cms_build(docs: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
     )
 
 
-_CMS_TOKENIZE = (
-    "list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),"
-    " ' '), x -> x <> '')"
-)
+# the Spark side reuses indexing._toks_col for tokenizer parity, so the
+# DuckDB side must reuse indexing's SQL constant too — a re-declared
+# copy would silently desynchronize when the regex is tweaked
+from bingcrawler_spark.indexing import _TOKENIZE as _CMS_TOKENIZE  # noqa: E402
 
 
 def cms_sql(from_docs: str, d: int = CMS_D, w: int = CMS_W) -> str:
@@ -343,6 +343,8 @@ def hist_quantiles(
             )
         )
         out = q if out is None else out.unionByName(q)
+    out = out.localCheckpoint(eager=True)  # materialize, release the cache
+    cum.unpersist()
     return out
 
 

@@ -124,6 +124,24 @@ class SnapshotStore:
         if len(keep) == len(man["snapshots"]):
             return
         drop = [s for s in man["snapshots"] if s["wave"] > wave]
+        # refuse to point the manifest at state that _expire(keep=4) has
+        # already deleted — a rollback the store cannot serve must fail
+        # HERE (manifest untouched), not later as a path-not-found inside
+        # read() mid-recovery
+        if keep:
+            trial = {"current": keep[-1]["id"], "snapshots": keep}
+            missing = [
+                i
+                for i in self._live_ids(trial)
+                if not os.path.isdir(self._snap_dir(table, i))
+            ]
+            if missing:
+                raise ValueError(
+                    f"rollback_to_wave({table!r}, {wave}): snapshots "
+                    f"{missing} were expired by retention; oldest "
+                    f"restorable wave is "
+                    f"{self._oldest_restorable_wave(table, man)}"
+                )
         man["snapshots"] = keep
         man["current"] = keep[-1]["id"] if keep else -1
         tmp = self._manifest_path(table) + ".tmp"
@@ -132,6 +150,15 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path(table))
         for s in drop:
             shutil.rmtree(self._snap_dir(table, s["id"]), ignore_errors=True)
+
+    def _oldest_restorable_wave(self, table: str, man: dict) -> int | None:
+        """Earliest wave whose full live-id set still has data dirs on
+        disk (i.e. survives retention) — the rollback floor."""
+        for s in man["snapshots"]:
+            ids = self._live_ids(man, s["id"])
+            if all(os.path.isdir(self._snap_dir(table, i)) for i in ids):
+                return s["wave"]
+        return None
 
     def _live_ids(self, man: dict, upto: int | None = None) -> list[int]:
         """Snapshot ids composing the state at snapshot `upto` (default
@@ -171,6 +198,8 @@ class SnapshotStore:
         if man is None:
             raise FileNotFoundError(f"table {table} has no snapshots")
         dirs = [self._snap_dir(table, i) for i in self._live_ids(man, snapshot)]
+        if not dirs:  # e.g. rolled back past every snapshot
+            raise FileNotFoundError(f"table {table} has no live snapshots")
         return self.spark.read.parquet(*dirs)
 
     def exists(self, table: str) -> bool:
@@ -194,16 +223,17 @@ class SnapshotStore:
     # durability, and materialize as a DataFrame on demand.
 
     def log_row(self, table: str, row: dict) -> None:
+        """O(1) fsync'd append — NOT a read-modify-rewrite: a long crawl
+        logs one row per wave, and rewriting the whole file per append is
+        O(waves^2) total bytes.  A kill mid-append can leave one torn
+        final line, which read_rows tolerates (rollback_rows_to_wave then
+        rewrites the file clean)."""
         os.makedirs(self._tdir(table), exist_ok=True)
         path = os.path.join(self._tdir(table), "rows.jsonl")
-        tmp = path + ".tmp"
-        existing = ""
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = f.read()
-        with open(tmp, "w") as f:
-            f.write(existing + json.dumps(row) + "\n")
-        os.replace(tmp, path)
+        with open(path, "a") as f:
+            f.write(json.dumps(row) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def rollback_rows_to_wave(self, table: str, wave: int) -> None:
         """Row-log analogue of rollback_to_wave: drop rows logged for waves
@@ -223,7 +253,19 @@ class SnapshotStore:
         if not os.path.exists(path):
             return []
         with open(path) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
+            lines = [ln for ln in f if ln.strip()]
+        out: list[dict] = []
+        for i, ln in enumerate(lines):
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                # a torn FINAL line is expected after a kill mid-append
+                # (log_row is append-only); torn interior lines are real
+                # corruption worth surfacing
+                if i == len(lines) - 1:
+                    break
+                raise
+        return out
 
 
 def snapshot_diff(
@@ -246,13 +288,21 @@ def snapshot_diff(
     classification is re-derivable."""
     from pyspark.sql import functions as F
 
-    o = old.select(F.col(key).alias("k"), F.col(fp_col).alias("old_fp"))
-    n = new.select(F.col(key).alias("k"), F.col(fp_col).alias("new_fp"))
+    # presence is tracked by explicit side markers, NOT fingerprint
+    # nullness — a present row whose fingerprint is NULL (fetch failed,
+    # fp not yet backfilled) must not read as 'added'/'removed'; the
+    # changed test is null-safe so NULL↔non-NULL reads as 'changed'
+    o = old.select(
+        F.col(key).alias("k"), F.col(fp_col).alias("old_fp"), F.lit(1).alias("_in_o")
+    )
+    n = new.select(
+        F.col(key).alias("k"), F.col(fp_col).alias("new_fp"), F.lit(1).alias("_in_n")
+    )
     j = o.join(n, "k", "full_outer")
     status = (
-        F.when(F.col("old_fp").isNull(), F.lit("added"))
-        .when(F.col("new_fp").isNull(), F.lit("removed"))
-        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        F.when(F.col("_in_o").isNull(), F.lit("added"))
+        .when(F.col("_in_n").isNull(), F.lit("removed"))
+        .when(~F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("changed"))
         .otherwise(F.lit("same"))
     )
     return j.select(
@@ -267,12 +317,14 @@ def snapshot_diff_sql(
     old_sql: str, new_sql: str, key: str = "url", fp_col: str = "fp_md5"
 ) -> str:
     return f"""
-    WITH __sd_o AS (SELECT {key} AS k, {fp_col} AS old_fp FROM ({old_sql})),
-         __sd_n AS (SELECT {key} AS k, {fp_col} AS new_fp FROM ({new_sql}))
+    WITH __sd_o AS (SELECT {key} AS k, {fp_col} AS old_fp, 1 AS _in_o
+                    FROM ({old_sql})),
+         __sd_n AS (SELECT {key} AS k, {fp_col} AS new_fp, 1 AS _in_n
+                    FROM ({new_sql}))
     SELECT coalesce(__sd_o.k, __sd_n.k) AS {key},
-           CASE WHEN __sd_o.k IS NULL THEN 'added'
-                WHEN __sd_n.k IS NULL THEN 'removed'
-                WHEN __sd_o.old_fp <> __sd_n.new_fp THEN 'changed'
+           CASE WHEN __sd_o._in_o IS NULL THEN 'added'
+                WHEN __sd_n._in_n IS NULL THEN 'removed'
+                WHEN __sd_o.old_fp IS DISTINCT FROM __sd_n.new_fp THEN 'changed'
                 ELSE 'same' END AS status,
            coalesce(__sd_o.old_fp, '') AS old_fp,
            coalesce(__sd_n.new_fp, '') AS new_fp

@@ -29,7 +29,10 @@ ASSET_EXTS = ("css", "js", "woff", "woff2", "svg", "map")
 _SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
-_QUERY_RE = r"\?([^#]*)"
+# query = text after the FIRST '?' that precedes any '#': '[^#]*?' cannot
+# cross a '#', so a '?' inside the fragment (hash-routed SPA URLs like
+# /page#/route?utm_source=x) is NOT a query component (RFC 3986 §3.4)
+_QUERY_RE = r"^[^#]*?\?([^#]*)"
 _EXT_RE = r"\.([a-zA-Z0-9]+)$"
 
 
@@ -97,7 +100,7 @@ def url_features_sql(urls_sql: str, url_col: str = "url") -> str:
              regexp_extract({url_col}, '{_SCHEME_RE}', 1) AS scheme,
              regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
              regexp_extract({url_col}, '{_PATH_RE}', 1) AS path,
-             regexp_extract({url_col}, '\\?([^#]*)', 1) AS query
+             regexp_extract({url_col}, '^[^#]*?\\?([^#]*)', 1) AS query
       FROM ({urls_sql})
     ), feats AS (
       SELECT url, scheme, host,
@@ -170,8 +173,12 @@ def canon_collapse(urls: DataFrame, url_col: str = "url") -> DataFrame:
             F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
         ).otherwise(F.lit("")),
     )
+    # URLs with no scheme://host prefix (relative links, mailto:,
+    # javascript:) canonicalize to '' — drop them rather than emit one
+    # bogus group aggregating every malformed URL as "variants"
     return (
         urls.select(canon.alias("canon_url"), had_tracking.cast("long").alias("trk"))
+        .where(F.col("canon_url") != "")
         .groupBy("canon_url")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_variants"),
@@ -289,7 +296,7 @@ def dust_rules_sql(
              regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
              regexp_extract({url_col}, '^([^?#]*)', 1) AS base,
              list_filter(
-               string_split(regexp_extract({url_col}, '\\?([^#]*)', 1), '&'),
+               string_split(regexp_extract({url_col}, '^[^#]*?\\?([^#]*)', 1), '&'),
                p -> p <> ''
              ) AS params
       FROM ({pages_sql})
@@ -363,5 +370,6 @@ def canon_collapse_sql(urls_sql: str, url_col: str = "url") -> str:
     )
     SELECT canon_url, count(*)::BIGINT AS n_variants,
            sum(trk)::BIGINT AS n_tracking_variants
-    FROM s5 GROUP BY canon_url HAVING count(*) >= 2
+    FROM s5 WHERE canon_url <> ''
+    GROUP BY canon_url HAVING count(*) >= 2
     """

@@ -261,7 +261,11 @@ def mime_sniff(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
     verticals; real crawls meet lying servers, so sniff bytes).  The
     whole classifier is hex-prefix CASE arms on the binary column:
     JVM-side, shuffle-free, no decode of the payload body."""
-    h = F.hex(F.col(payload_col))
+    # hex ONLY the magic-length binary prefix — substring works on binary,
+    # so hex() never materializes a 2x-size string copy of a multi-MB
+    # payload just to compare <10 chars
+    max_len = max(len(m) for _, m in _MAGICS)
+    h = F.hex(F.substring(F.col(payload_col), 1, max_len))
     expr = F.lit("text/plain")
     for mime, magic in reversed(_MAGICS):
         mh = magic.encode("utf-8").hex().upper()
@@ -276,6 +280,8 @@ def mime_sniff(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
 
 
 def mime_sniff_sql(pages_sql: str, payload_col: str = "payload") -> str:
+    # DuckDB has no BLOB substr, so the oracle hexes the whole payload —
+    # fine at oracle scale (sf0.01); only the Spark side is the scale path
     arms = []
     for mime, magic in _MAGICS:
         mh = magic.encode("utf-8").hex().upper()

@@ -380,6 +380,41 @@ def test_snapshot_diff_classifies_all_four_ways(spark):
     assert got == {"u1": "removed", "u2": "same", "u3": "changed", "u4": "added"}
 
 
+def test_snapshot_diff_null_fingerprints(spark):
+    """A PRESENT row whose fingerprint is NULL (failed fetch, fp not yet
+    backfilled) must classify by key presence, not fp nullness — and
+    NULL↔non-NULL fingerprints on a shared key read as 'changed'.
+    Both engines must agree."""
+    import duckdb
+
+    from bingcrawler_spark import statestore as ST
+
+    schema = "url string, fp_md5 string"
+    old = spark.createDataFrame(
+        [("u1", None), ("u2", "bb"), ("u3", None)], schema
+    )
+    new = spark.createDataFrame(
+        [("u1", "aa"), ("u2", None), ("u3", None), ("u4", None)], schema
+    )
+    got = {r["url"]: r["status"] for r in ST.snapshot_diff(old, new).collect()}
+    assert got == {
+        "u1": "changed",  # NULL -> 'aa'
+        "u2": "changed",  # 'bb' -> NULL
+        "u3": "same",     # NULL on both sides, key present in both
+        "u4": "added",    # present only in new, despite NULL fp
+    }
+    con = duckdb.connect()
+    con.register("o", old.toPandas())
+    con.register("n", new.toPandas())
+    want = {
+        r[0]: r[1]
+        for r in con.sql(
+            ST.snapshot_diff_sql("SELECT * FROM o", "SELECT * FROM n")
+        ).fetchall()
+    }
+    assert want == got
+
+
 def test_snapshot_diff_matches_duckdb(spark):
     import duckdb
 
@@ -532,3 +567,71 @@ def test_in_process_retry_after_partial_commit(spark):
     log = b.pop_log().groupBy("url").count()
     assert log.where(F.col("count") > 1).count() == 0
     assert [r["wave"] for r in b.metrics().orderBy("wave").collect()] == [1, 2, 3]
+
+
+# ------------------------------------------------------ store durability
+
+
+def test_log_row_append_and_torn_tail(spark):
+    """log_row is an O(1) append; a torn FINAL line (kill mid-append)
+    is tolerated by read_rows, but a torn INTERIOR line is corruption
+    and raises."""
+    import os
+
+    wh = tempfile.mkdtemp(prefix="wh_log_")
+    st = SnapshotStore(spark, wh)
+    for w in range(5):
+        st.log_row("m", {"wave": w, "n": w * 10})
+    assert [r["wave"] for r in st.read_rows("m")] == list(range(5))
+    path = os.path.join(wh, "m", "rows.jsonl")
+    with open(path, "a") as f:
+        f.write('{"wave": 5, "n"')  # torn tail: kill mid-append
+    assert [r["wave"] for r in st.read_rows("m")] == list(range(5))
+    # a torn INTERIOR line is real corruption, not a torn tail
+    with open(path) as f:
+        lines = f.read().splitlines()
+    lines[1] = lines[1][:5]
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    import json as _json
+
+    import pytest
+
+    with pytest.raises(_json.JSONDecodeError):
+        st.read_rows("m")
+
+
+def test_rollback_past_retention_refuses(spark):
+    """rollback_to_wave to a wave whose snapshot dirs were expired by
+    retention must raise with the manifest UNTOUCHED — not point current
+    at a deleted directory and crash later inside read()."""
+    import pytest
+
+    wh = tempfile.mkdtemp(prefix="wh_rb2_")
+    st = SnapshotStore(spark, wh)
+    df = spark.range(3).toDF("id")
+    # 7 overwrite commits; _expire(keep=4) deletes dirs for waves 1-3
+    for w in range(1, 8):
+        st.commit("t", df, wave=w)
+    man_before = st.manifest("t")
+    with pytest.raises(ValueError, match="expired by retention"):
+        st.rollback_to_wave("t", 2)
+    assert st.manifest("t") == man_before  # untouched
+    # a rollback within the retention window still works and reads back
+    st.rollback_to_wave("t", 5)
+    assert st.read("t").count() == 3
+    assert st.current_wave("t") == 5
+
+
+def test_read_after_rollback_past_everything(spark):
+    """Rolling an append-only table back past every snapshot leaves it
+    empty: read() must raise the same FileNotFoundError contract as a
+    never-written table, not call spark.read.parquet() with no paths."""
+    import pytest
+
+    wh = tempfile.mkdtemp(prefix="wh_rb3_")
+    st = SnapshotStore(spark, wh)
+    st.append("t", spark.range(2).toDF("id"), wave=1)
+    st.rollback_to_wave("t", 0)
+    with pytest.raises(FileNotFoundError):
+        st.read("t")

@@ -17,6 +17,12 @@ CASES = [
     ("ftp://a.example/f.html", "ftp", "a.example", 1, 0, 0, "page", 0),
     ("http://a.example/data.tar.gz", "http", "a.example", 1, 0, 0, "other", 0),
     ("http://h0.example/p.php?utm_campaign=c&x=1", "http", "h0.example", 1, 2, 1, "page", 1),
+    # hash-routed SPA URL: the '?' lives INSIDE the fragment, so there is
+    # no query component (RFC 3986 §3.4) — n_params/has_tracking must be 0
+    ("http://a.example/page#/route?utm_source=x", "http", "a.example", 1, 0, 0, "none", 1),
+    # real query AND a fragment carrying a second '?': only the pre-'#'
+    # query counts
+    ("http://a.example/p?id=1#frag?utm_source=x", "http", "a.example", 1, 1, 0, "none", 1),
 ]
 
 
@@ -61,6 +67,11 @@ def test_canon_collapse_folds_variants(spark):
         "http://a.example/q?id=1&x=2",
         # singleton — must NOT appear (n_variants < 2)
         "http://b.example/only",
+        # malformed / non-web URLs canonicalize to '' — they must be
+        # DROPPED, not aggregated into one bogus '' group
+        "mailto:a@b.example",
+        "javascript:void(0)",
+        "/relative/path?utm_source=x",
     ]
     df = spark.createDataFrame([(u,) for u in variants], "url string")
     got = {r["canon_url"]: (r["n_variants"], r["n_tracking_variants"])

@@ -119,9 +119,11 @@ def minhash_lsh_pairs(
             F.size(F.array_union("sh_a", "sh_b")).cast("long").alias("n_union"),
         )
     )
-    return verified.where(
+    out = verified.where(
         F.col("n_common") * 100 >= F.col("n_union") * min_jaccard_pct
-    )
+    ).localCheckpoint(eager=True)  # materialize, then release the cache
+    base.unpersist()
+    return out
 
 
 def minhash_lsh_pairs_sql(
@@ -616,7 +618,8 @@ def dup_clusters(
         F.col("node").alias(id_col),
         F.col("label").alias("cluster_rep"),
         F.col("cluster_size").cast("long"),
-    )
+    ).localCheckpoint(eager=True)  # materialize, then release all caches
+    labels.unpersist()
     edges.unpersist()
     return out
 
@@ -736,9 +739,11 @@ def containment_pairs(
         )
         .where(F.col("n_small") > 0)
     )
-    return verified.where(
+    out = verified.where(
         F.col("n_common") * 100 >= F.col("n_small") * min_containment_pct
-    )
+    ).localCheckpoint(eager=True)  # materialize, then release the cache
+    base.unpersist()
+    return out
 
 
 def containment_pairs_sql(
@@ -1016,7 +1021,7 @@ def incremental_dedup(
         .distinct()
         .withColumn("band_hit", F.lit(1))
     )
-    return (
+    out = (
         ex.join(hits, "doc", "left")
         .select(
             F.col("doc").alias(id_col),
@@ -1029,7 +1034,11 @@ def incremental_dedup(
             .cast("int")
             .alias("keep"),
         )
+        .localCheckpoint(eager=True)  # materialize, then release the caches
     )
+    csig.unpersist()
+    bsig.unpersist()
+    return out
 
 
 def incremental_dedup_sql(

@@ -684,7 +684,7 @@ def image_neardup_pairs(
         ).alias("band_idx", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    out = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -700,7 +700,10 @@ def image_neardup_pairs(
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .where(F.col("hamming") <= max_hamming)
+        .localCheckpoint(eager=True)  # materialize, then release the cache
     )
+    hashes.unpersist()
+    return out
 
 
 def dhash_formula_sql(pid_expr: str) -> str:

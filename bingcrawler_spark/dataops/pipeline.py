@@ -62,7 +62,7 @@ def webtext_corpus(
     manifest = domain_mixture(kept, rates, default_rate).select("doc_id")
     final = kept.join(manifest, "doc_id")
     ts = token_stats(final)
-    return (
+    out = (
         final.select("doc_id", "source")
         .join(ts, "doc_id")
         .groupBy("source")
@@ -71,7 +71,10 @@ def webtext_corpus(
             F.sum("ws_tokens").cast("long").alias("ws_tokens"),
             F.sum("bpe_tokens").cast("long").alias("bpe_tokens"),
         )
+        .localCheckpoint(eager=True)  # materialize, then release the cache
     )
+    survivors.unpersist()
+    return out
 
 
 def webtext_corpus_sql(

@@ -102,7 +102,13 @@ def dsir_select(
         .groupBy(id_col)
         .agg(F.sum("w").alias("dsir_score"))
     )
-    return scored.orderBy(F.col("dsir_score").desc(), id_col).limit(k)
+    out = (
+        scored.orderBy(F.col("dsir_score").desc(), id_col)
+        .limit(k)
+        .localCheckpoint(eager=True)  # materialize, then release the cache
+    )
+    fb.unpersist()
+    return out
 
 
 def dsir_select_sql(

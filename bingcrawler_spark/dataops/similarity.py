@@ -437,14 +437,17 @@ def semdedup(
         )
         .select(F.col("a.vec_id").alias("vec_id"))
     )
-    return (
+    out = (
         assigned.join(dropped.withColumn("is_dup", F.lit(1)), "vec_id", "left")
         .select(
             "vec_id",
             F.col("cell").cast("int").alias("cell"),
             F.when(F.col("is_dup").isNull(), 1).otherwise(0).alias("kept"),
         )
+        .localCheckpoint(eager=True)  # materialize, then release the cache
     )
+    assigned.unpersist()
+    return out
 
 
 def semdedup_sql(

@@ -622,7 +622,9 @@ def vocab_growth(
             F.col("cnt").cast("long").alias("value"),
         )
     )
-    return totals.unionByName(ranks)
+    out = totals.unionByName(ranks).localCheckpoint(eager=True)
+    tc.unpersist()  # materialized above, release the vocab cache
+    return out
 
 
 def vocab_growth_sql(

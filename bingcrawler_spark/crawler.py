@@ -126,9 +126,14 @@ def resolve_redirects(
     that dangle (location missing from the table) or still redirect after
     max_hops produce no row — the caller treats absence as a failed fetch,
     matching the reference's null return."""
-    is_red = F.col("http_status").isin(*REDIRECT_STATUSES) & F.col(
-        "location"
-    ).isNotNull()
+    # null-safe: a NULL http_status must read as "not a redirect" — a bare
+    # NULL predicate would drop the row from BOTH the done and pend branches
+    # (NULL fails every filter), silently losing a fetchable page.
+    is_red = F.coalesce(
+        F.col("http_status").isin(*REDIRECT_STATUSES)
+        & F.col("location").isNotNull(),
+        F.lit(False),
+    )
     base = pages.select("url", "html", "http_status", "location")
     cur = base.join(F.broadcast(wave.select("url")), "url", "left_semi").select(
         F.col("url").alias("orig_url"),
@@ -256,10 +261,20 @@ class CrawlEngine:
         if self._sizes is None:  # resume path: lineage carries the sizes
             rows = self.store.read_rows("wave_metrics")
             m = rows[-1] if rows else {}
-            self._sizes = {
-                "frontier": int(m.get("frontier_size", 0)),
-                "seen": int(m.get("seen_size", 0)),
-            }
+            if rows and int(m.get("wave", -1)) == self.wave:
+                self._sizes = {
+                    "frontier": int(m.get("frontier_size", 0)),
+                    "seen": int(m.get("seen_size", 0)),
+                }
+            else:
+                # the metrics row for the committed wave is missing (kill
+                # between the frontier commit — the wave's commit point —
+                # and log_row): the lineage is broken, recount from the
+                # tables once.  O(state), retry/odd-resume path only.
+                self._sizes = {
+                    "frontier": self.store.read("frontier").count(),
+                    "seen": self.store.read("seen").count(),
+                }
         return self._sizes
 
     def frontier(self) -> DataFrame:
@@ -324,6 +339,14 @@ class CrawlEngine:
             self.store.rollback_to_wave("seen", wave - 1)
             self.store.rollback_to_wave("ref_edges", wave - 1)
             self.store.rollback_rows_to_wave("wave_metrics", wave - 1)
+            # the failed attempt may have mutated the cached lineage sizes
+            # and the incremental bloom out of sync with the rolled-back
+            # (or mid-committed) tables — drop both so they rebuild from
+            # disk.  Costs one recount/bloom rebuild on the rare retry
+            # path only; on resume they are None already.
+            self._sizes = None
+            self._bloom = None
+            self._bloom_items = 0
         # mark the wave in-flight: if anything below raises after a partial
         # promote (disk-full mid-commit, Ctrl-C in a REPL caller), a retry
         # in the SAME process must roll back too — appends are not
@@ -360,6 +383,7 @@ class CrawlEngine:
         # The only lost fast path is the empty-pop wave, handled after the
         # write by rolling the (empty) delta back — termination-only cost.
         if sizes["frontier"] <= 0 and wave > 1:
+            top.unpersist()
             self._needs_rollback = False
             return {"wave": wave, "n_popped": 0, "done": True}
 

@@ -903,16 +903,20 @@ def audio_features(media: DataFrame, frame_len: int = 160) -> DataFrame:
 
 def audio_features_sql(docs_sql: str, frame_len: int = 160) -> str:
     """DuckDB twin: re-derive every sample from the closed form and
-    aggregate the same frame features."""
+    aggregate the same frame features.  The waveform LENGTH is the
+    pack_audio_frames generator constant 160·(1+d%4) regardless of
+    frame_len, and partial tail frames are dropped — mirroring the
+    Python side's ``range(len(s) // frame_len)``."""
     return f"""
     WITH s AS (
       SELECT doc_id,
-             unnest(range(0, {frame_len} * (1 + doc_id % 4))) AS i
+             unnest(range(0, 160 * (1 + doc_id % 4))) AS i
       FROM ({docs_sql})
     ), w AS (
       SELECT doc_id, (i // {frame_len})::INT AS frame, i,
              ((doc_id + i) * 37 % 1024 - 512)::BIGINT AS smp
       FROM s
+      WHERE i < (160 * (1 + doc_id % 4) // {frame_len}) * {frame_len}
     ), lagged AS (
       SELECT doc_id, frame, smp,
              lag(smp) OVER (PARTITION BY doc_id, frame ORDER BY i) AS prev

@@ -147,17 +147,41 @@ def seq_packing(
     pretraining batches with cross-doc attention masking).  Reports per
     bin: n_docs, n_tokens, and integer fill per-mille.
 
-    Scale note: the running token offset is a global ordered cumsum —
-    Spark executes it as a range-partitioned sort + per-partition scan,
-    the same shape as any global ORDER BY write; there is no per-bin
-    data motion beyond the final |bins|-sized groupBy."""
+    Scale note: the running token offset is a global ordered cumsum,
+    computed in two phases so no task ever sees the whole corpus (an
+    unpartitioned window would compile to Exchange SinglePartition — a
+    one-core bottleneck at scale): (1) range-partition the narrow
+    (id, n_tok) rows by id — disjoint ORDERED ranges — and cumsum within
+    each partition; (2) per-partition totals (|partitions| rows, metadata
+    scale) get their own cumsum and rejoin as broadcast offsets.  The
+    `_pid` key is stable across the two subtrees: RangePartitioner's
+    sample seed derives from the partition index, so identical
+    deterministic inputs yield identical bounds (and Spark reuses the
+    exchange outright for the canonical-identical subplans)."""
     from pyspark.sql.window import Window as W
 
     n_tok = F.size(F.split(F.col(text_col), " "))
-    w = W.orderBy(id_col).rowsBetween(W.unboundedPreceding, W.currentRow)
-    per = docs.select(
-        F.col(id_col), n_tok.cast("long").alias("n_tok")
-    ).withColumn("cum", F.sum("n_tok").over(w))
+    per = (
+        docs.select(F.col(id_col), n_tok.cast("long").alias("n_tok"))
+        .repartitionByRange(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_loc = (
+        W.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per = per.withColumn("_loc", F.sum("n_tok").over(w_loc))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, W.currentRow)
+    offsets = (
+        per.groupBy("_pid")
+        .agg(F.sum("n_tok").alias("_tot"))
+        .withColumn("_off", F.sum("_tot").over(w_off) - F.col("_tot"))
+        .select("_pid", "_off")
+    )
+    per = per.join(F.broadcast(offsets), "_pid").withColumn(
+        "cum", F.col("_loc") + F.col("_off")
+    )
     binned = per.select(
         F.expr(f"div(cum - n_tok, {bin_tokens})").alias("bin"), "n_tok"
     )

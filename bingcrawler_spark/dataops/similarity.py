@@ -191,6 +191,51 @@ def lsh_topk_sql(
 # ------------------------------------------------------------------ IVF
 
 
+def _ivf_assign(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    out_vec: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared deterministic coarse quantizer behind ivf_topk and semdedup
+    (one definition so the tie-break rule and centroid seeding cannot
+    drift apart): centroids are the ``n_cells`` lowest-id corpus vectors;
+    every vector joins its argmax-cosine cell (ties → lowest cell) via a
+    broadcast n_cells-way fan-out folded back by a partial-aggregatable
+    max_by — never an all-pairs.  Returns ``(cents[cell, cent],
+    assigned[out_id, out_vec, cell])``."""
+    w_id = W.orderBy(F.col(id_col))
+    cents = (
+        corpus.orderBy(F.col(id_col))
+        .limit(n_cells)
+        .select(
+            (F.row_number().over(w_id) - 1).alias("cell"),
+            F.col(vec_col).alias("cent"),
+        )
+    )
+    c = corpus.select(F.col(id_col).alias(out_id), F.col(vec_col).alias(out_vec))
+    assigned = (
+        c.crossJoin(F.broadcast(cents))
+        .select(
+            out_id,
+            out_vec,
+            "cell",
+            cosine_col(F.col(out_vec), F.col("cent")).alias("cc"),
+        )
+        .groupBy(out_id)
+        .agg(
+            F.any_value(F.col(out_vec)).alias(out_vec),
+            F.max_by(
+                F.col("cell"),
+                F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
+            ).alias("cell"),
+        )
+    )
+    return cents, assigned
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,34 +258,8 @@ def ivf_topk(
     max_by, probes touch n_probe/n_cells of the corpus, and at 100 TB the
     assigned corpus would be written partitioned by cell so the probe
     join prunes files — same contract as lsh_topk."""
-    w_id = W.orderBy(F.col(id_col))
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w_id) - 1).alias("cell"),
-            F.col(vec_col).alias("cent"),
-        )
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
-    )
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "cvec",
-            "cell",
-            cosine_col(F.col("cvec"), F.col("cent")).alias("cc"),
-        )
-        .groupBy("neighbor_id")
-        .agg(
-            F.any_value(F.col("cvec")).alias("cvec"),
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
-            ).alias("cell"),
-        )
+    cents, assigned = _ivf_assign(
+        corpus, n_cells, id_col, vec_col, "neighbor_id", "cvec"
     )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
     wq = W.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("cell"))
@@ -392,37 +411,11 @@ def semdedup(
     never shuffles the corpus twice).  The prune rule is a left-semi
     EXISTS, so the kept set needs no iterative connected components.
     """
-    w_id = W.orderBy(F.col(id_col))
-    cents = (
-        corpus.orderBy(F.col(id_col))
-        .limit(n_cells)
-        .select(
-            (F.row_number().over(w_id) - 1).alias("cell"),
-            F.col(vec_col).alias("cent"),
-        )
-    )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("vec"))
-    assigned = (
-        c.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "vec",
-            "cell",
-            cosine_col(F.col("vec"), F.col("cent")).alias("cc"),
-        )
-        .groupBy("vec_id")
-        .agg(
-            F.any_value(F.col("vec")).alias("vec"),
-            F.max_by(
-                F.col("cell"),
-                F.struct(F.col("cc"), (-F.col("cell")).cast("double")),
-            ).alias("cell"),
-        )
-        # branch point: the assignment feeds both semi-join sides and the
-        # verdict — persist so the broadcast fan-out runs once, not thrice
-        # (at 100 TB this is the write-partitioned-by-cell materialization)
-        .persist()
-    )
+    _, assigned = _ivf_assign(corpus, n_cells, id_col, vec_col, "vec_id", "vec")
+    # branch point: the assignment feeds both semi-join sides and the
+    # verdict — persist so the broadcast fan-out runs once, not thrice
+    # (at 100 TB this is the write-partitioned-by-cell materialization)
+    assigned = assigned.persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(

@@ -233,17 +233,6 @@ def fingerprints_sql(docs_sql: str, text_col: str = "text", id_col: str = "doc_i
 # --------------------------------------------------------- repetition stats
 
 
-def _grams_nondistinct(text, n: int):
-    """All word n-grams in order, repeats kept (unlike xhash.shingles_col,
-    which is distinct+sorted for set-similarity ops)."""
-    t = X.tokens_col(text)
-    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
-    gram = lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)])  # noqa: E731
-    return F.when(F.size(t) >= n, F.transform(idx, gram)).otherwise(
-        F.array().cast("array<string>")
-    )
-
-
 def repetition_stats(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -281,8 +270,8 @@ def repetition_stats(
     base = docs.select(
         F.col(id_col),
         F.length(txt).alias("_tlen"),
-        count_map(_grams_nondistinct(txt, 2)).alias("_m2"),
-        count_map(_grams_nondistinct(txt, 3)).alias("_m3"),
+        count_map(X.ngrams_col(txt, 2)).alias("_m2"),
+        count_map(X.ngrams_col(txt, 3)).alias("_m3"),
     )
     covered2 = F.transform(
         F.map_entries(F.col("_m2")), lambda e: e["value"] * F.length(e["key"])

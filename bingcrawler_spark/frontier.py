@@ -155,7 +155,12 @@ def pop_wave(
     if min_weight is not None:
         f = f.where(F.col("weight") >= F.lit(min_weight))
     if robots is not None or default_budget is not None:
-        budget = F.coalesce(F.col("crawl_budget"), F.lit(default_budget or 1 << 30))
+        # explicit None test: default_budget=0 is a legal config meaning
+        # "unbudgeted hosts pop nothing" — `or` would turn it unlimited
+        budget = F.coalesce(
+            F.col("crawl_budget"),
+            F.lit(default_budget if default_budget is not None else 1 << 30),
+        )
         if robots is not None:
             f = f.join(
                 F.broadcast(robots.select("host", "crawl_budget")), "host", "left"
@@ -635,7 +640,9 @@ def cache_decisions_sql(obs_sql: str) -> str:
 
 def fetch_slots(frontier: DataFrame, default_delay_ms: int = 500) -> DataFrame:
     """Politeness schedule materialization: rank each host's queued
-    urls in pop order (weight DESC, url ASC — F1's comparator) and
+    urls in pop order (weight DESC, url DESC — F1's comparator, the
+    same tie-break `_pop_order` gives pop_wave, so a fetcher executes
+    ties in exactly the order the frontier pops them) and
     assign concrete fetch timestamps ``stagger + (slot-1) * delay`` so
     a fetcher fleet executes the wave without any coordination beyond
     reading its slice.  The per-host stagger (md5(host) mod 1000 ms)
@@ -644,7 +651,7 @@ def fetch_slots(frontier: DataFrame, default_delay_ms: int = 500) -> DataFrame:
     the same politeness shuffle shape as pop_wave, never the corpus."""
     from pyspark.sql.window import Window as W
 
-    w = W.partitionBy("host").orderBy(F.col("weight").desc(), F.col("url").asc())
+    w = W.partitionBy("host").orderBy(*_pop_order())
     stagger = (
         F.conv(F.substring(F.md5(F.col("host")), 1, 4), 16, 10).cast("long")
         % 1000
@@ -668,7 +675,7 @@ def fetch_slots_sql(frontier_sql: str, default_delay_ms: int = 500) -> str:
     WITH r AS (
       SELECT url, host, crawl_delay_ms,
              row_number() OVER (PARTITION BY host
-                                ORDER BY weight DESC, url ASC) AS slot
+                                ORDER BY weight DESC, url DESC) AS slot
       FROM ({frontier_sql}))
     SELECT url, host, slot::INT AS slot,
            (('0x' || substr(md5(host), 1, 4))::BIGINT % 1000

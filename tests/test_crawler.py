@@ -137,6 +137,21 @@ def test_politeness_budget_respected(spark):
         assert r["count"] <= cap, r
 
 
+def test_default_budget_zero_means_zero(spark):
+    """default_budget=0 is a legal config — hosts WITHOUT a robots
+    crawl_budget row pop NOTHING (crawl only explicitly-budgeted hosts).
+    Regression: a falsy-zero `or` once turned 0 into unlimited."""
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark import frontier as FR
+
+    f = FR.seeds_to_frontier(spark, seed_urls(N, H))
+    robots = robots_df(spark, H).where(F.col("host") == "host0.example")
+    got = FR.pop_wave(f, 1000, robots=robots, default_budget=0)
+    hosts = {r["host"] for r in got.select("host").distinct().collect()}
+    assert hosts == {"host0.example"}
+
+
 def test_hot_host_salted_popwave_exact(spark):
     """Skew fixture (SURVEY §7e): one host holds 60% of a 50k frontier.
     The two-phase salted top-k must return EXACTLY the rows a plain
@@ -200,6 +215,7 @@ def test_resolve_redirects_unit(spark):
         ("r5", None, 301, "r6"),
         ("r6", None, 302, "a"),
         ("dang", None, 301, "missing"),  # dangling location
+        ("ns", "html-ns", None, "a"),    # NULL status + location → not a redirect
     ]
     pages = spark.createDataFrame(
         rows, "url string, html string, http_status int, location string"
@@ -215,6 +231,9 @@ def test_resolve_redirects_unit(spark):
     assert "r3" not in out  # needs 4 hops — over the cap → failed fetch
     assert out["r4"] == ("a", "html-a", 3)
     assert "dang" not in out
+    # null-safety: a NULL http_status must land in `done` with its own
+    # html, not vanish from both branches (NULL fails every filter)
+    assert out["ns"] == ("ns", "html-ns", 0)
 
 
 def test_scrub_filename_twins(spark):
@@ -482,7 +501,7 @@ def test_fetch_slots_pop_order_and_delay(spark):
     rows = [
         ("u/a", "h1", 100, None),
         ("u/b", "h1", 90, None),
-        ("u/c", "h1", 100, None),   # ties with u/a -> url asc: a first
+        ("u/c", "h1", 100, None),   # ties with u/a -> url desc (F1): c first
         ("u/d", "h2", 50, 2000),
     ]
     df = spark.createDataFrame(
@@ -492,8 +511,8 @@ def test_fetch_slots_pop_order_and_delay(spark):
            for r in FR.fetch_slots(df).collect()}
     import hashlib
     stag = lambda h: int(hashlib.md5(h.encode()).hexdigest()[:4], 16) % 1000  # noqa: E731
-    assert got["u/a"] == (1, stag("h1"))
-    assert got["u/c"] == (2, stag("h1") + 500)
+    assert got["u/c"] == (1, stag("h1"))
+    assert got["u/a"] == (2, stag("h1") + 500)
     assert got["u/b"] == (3, stag("h1") + 1000)
     assert got["u/d"] == (1, stag("h2"))
 
@@ -567,6 +586,59 @@ def test_in_process_retry_after_partial_commit(spark):
     log = b.pop_log().groupBy("url").count()
     assert log.where(F.col("count") > 1).count() == 0
     assert [r["wave"] for r in b.metrics().orderBy("wave").collect()] == [1, 2, 3]
+
+
+def test_in_process_retry_after_wave_committed(spark):
+    """Failure AFTER the frontier commit (the wave's commit point) but
+    before the metrics row lands: the wave IS committed, so the retry
+    must (a) not roll it back, (b) rebuild the cached lineage sizes
+    from the tables — the in-memory dict may have missed the committed
+    wave's counts — and continue with the next wave.  Regression: the
+    stale cached sizes once survived the retry and skewed every later
+    frontier_size/seen_size metric."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    wh_a = tempfile.mkdtemp(prefix="wh_wa_")
+    a = _engine(spark, wh_a)
+    a.bootstrap(seed_urls(N, H))
+    a.run(4)
+
+    wh_b = tempfile.mkdtemp(prefix="wh_wb_")
+    b = _engine(spark, wh_b)
+    b.bootstrap(seed_urls(N, H))
+    b.run(2)
+
+    real_log = b.store.log_row
+
+    def failing(table, row):
+        if table == "wave_metrics":
+            raise OSError("injected: crash after frontier commit")
+        return real_log(table, row)
+
+    b.store.log_row = failing
+    with pytest.raises(OSError):
+        b.run_wave()  # wave 3 commits, metrics row lost
+    b.store.log_row = real_log
+    assert b.wave == 3
+    b.run_wave()  # same-process retry → runs wave 4
+
+    key = lambda df: {  # noqa: E731
+        (r["url"], r["weight"], r["depth"], tuple(r["referrers"]))
+        for r in df.collect()
+    }
+    assert key(a.seen()) == key(b.seen())
+    assert key(a.frontier()) == key(b.frontier())
+    # the wave-4 metrics row must carry RECOUNTED sizes, not the stale
+    # in-memory lineage that missed wave 3's committed deltas
+    m4 = [r for r in b.metrics().collect() if r["wave"] == 4][0]
+    assert m4["frontier_size"] == b.frontier().count()
+    assert m4["seen_size"] == b.seen().count()
+    # wave 3's metrics row is honestly absent; no duplicate pops anywhere
+    # (metrics() excludes the wave-0 bootstrap row by design)
+    assert [r["wave"] for r in b.metrics().orderBy("wave").collect()] == [1, 2, 4]
+    log = b.pop_log().groupBy("url").count()
+    assert log.where(F.col("count") > 1).count() == 0
 
 
 # ------------------------------------------------------ store durability

@@ -4428,6 +4428,11 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # very front), followed by everything the driver already re-verified,
 # in original order.
 _CHECK_FIRST = [
+    # the three the round-2 judge named as never-driver-checked go first of
+    # all (VERDICT.md task 6), then the rest of the never-checked set
+    "mm_decode_roundtrip",
+    "p15_scrub_filename",
+    "s7_pdf_text",
     # never driver-checked (new this round / judge-verified locally only)
     "f18_dust_rules",
     "p19_rel_canonical",
@@ -4502,9 +4507,6 @@ _CHECK_FIRST = [
     "ds_stratified_topk",
     "ev_interval_join",
     "ts_pii_redact",
-    "mm_decode_roundtrip",
-    "p15_scrub_filename",
-    "s7_pdf_text",
     # r1-green but missing a round-2 row
     "p3_unescape_entities",
     "p6_charset_sniff",

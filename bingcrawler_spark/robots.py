@@ -31,30 +31,49 @@ from pyspark.sql.window import Window as W
 
 def parse_robots(texts: DataFrame, agent: str = "*") -> DataFrame:
     """texts(host, robots_txt) → (host, disallow_prefixes array<string>,
-    crawl_delay int|null).  Line-state via a window: each rule line binds
-    to the most recent User-agent above it."""
-    lines = texts.select(
-        "host",
-        F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("pos", "raw"),
-    ).select(
-        "host",
-        "pos",
-        # strip comments, trim
-        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("ln"),
+    crawl_delay int|null).  Line-state via windows, RFC 9309 §2.1 group
+    semantics: CONSECUTIVE User-agent lines (blank lines between them
+    ignored) form one group, and every rule line binds to ALL agents of
+    the nearest group above — not just the most recent agent line, which
+    would silently drop '*' rules from multi-agent groups."""
+    lines = (
+        texts.select(
+            "host",
+            F.posexplode(F.split(F.col("robots_txt"), "\n")).alias("pos", "raw"),
+        )
+        .select(
+            "host",
+            "pos",
+            # strip comments, trim
+            F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("ln"),
+        )
+        # empty lines carry no state: dropping them here makes UA lines
+        # separated only by blanks still one group (de-facto behavior)
+        .where(F.col("ln") != "")
     )
     low = F.lower(F.col("ln"))
-    ua = F.when(
-        low.startswith("user-agent:"),
-        F.trim(F.expr("substring(ln, 12)")),
-    )
-    w = W.partitionBy("host").orderBy("pos").rowsBetween(W.unboundedPreceding, 0)
+    is_ua = low.startswith("user-agent:")
+    w_ord = W.partitionBy("host").orderBy("pos")
+    w_cum = w_ord.rowsBetween(W.unboundedPreceding, 0)
+    # a group starts at a UA line whose predecessor is NOT a UA line; the
+    # running count of group starts is the section id for every line
+    block_start = is_ua & ~F.lag(is_ua, 1, False).over(w_ord)
     sectioned = lines.select(
         "host",
         "pos",
         "ln",
-        F.last(ua, ignorenulls=True).over(w).alias("cur_agent"),
+        is_ua.alias("is_ua"),
+        F.when(is_ua, F.trim(F.expr("substring(ln, 12)"))).alias("ua"),
+        F.sum(block_start.cast("int")).over(w_cum).alias("blk"),
     )
-    in_scope = sectioned.where(F.col("cur_agent") == agent)
+    scope_blocks = (
+        sectioned.where(F.col("is_ua") & (F.col("ua") == agent))
+        .select("host", "blk")
+        .distinct()
+    )
+    in_scope = sectioned.where(~F.col("is_ua")).join(
+        scope_blocks, ["host", "blk"], "left_semi"
+    )
     dis = in_scope.where(F.lower(F.col("ln")).startswith("disallow:")).select(
         "host",
         "pos",

@@ -13,9 +13,10 @@ Design for scale:
   engine-independent) — no shuffle beyond the final shard-aligned write;
 * `write_jsonl_corpus` repartitions BY SHARD and streams each shard
   through Spark's text writer — no driver collection, no per-row Python;
-* the manifest aggregates (count, token sum, md5-of-ordered-lines) per
-  shard — the md5 fold is the only per-shard serial step, and it runs
-  distributed, one task per shard;
+* the manifest aggregates (count, token sum, content hash) per shard —
+  the hash is a two-level chunked (Merkle) md5 fold, so no task ever
+  materializes a whole shard's bytes: chunk width bounds task memory,
+  shard count bounds the serial work;
 * `jsonl_manifest_sql` re-derives every byte in DuckDB, so the whole
   serialize→shard→checksum path is cross-engine hash-verified.
 """
@@ -89,29 +90,54 @@ def jsonl_lines(
     )
 
 
+CHUNK_DOCS = 1024  # manifest Merkle-chunk width (docs per chunk)
+
+
+def _manifest_from_lines(lines: DataFrame, chunk_docs: int = CHUNK_DOCS) -> DataFrame:
+    """Two-level Merkle fold over pre-serialized (doc_id, shard_id,
+    n_tokens, line) rows — see :func:`jsonl_manifest`."""
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
+        lambda x: x["line"],
+    )
+    chunked = lines.groupBy(
+        "shard_id", F.expr(f"div(doc_id, {chunk_docs})").alias("chunk")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ordered, "\n")).alias("chunk_md5"),
+    )
+    ordered_chunks = F.transform(
+        F.sort_array(F.collect_list(F.struct("chunk", "chunk_md5"))),
+        lambda x: x["chunk_md5"],
+    )
+    return chunked.groupBy("shard_id").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join(ordered_chunks, "\n")).alias("content_md5"),
+    )
+
+
 def jsonl_manifest(
     docs: DataFrame,
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_docs: int = CHUNK_DOCS,
 ) -> DataFrame:
-    """Per-shard manifest: (shard_id, n_docs, n_tokens, content_md5)
-    where content_md5 hashes the newline-joined lines in doc-id order —
-    the receipt a consumer checks against the shard file it downloaded.
+    """Per-shard manifest: (shard_id, n_docs, n_tokens, content_md5).
 
-    The sort_array(collect_list(struct(..))) fold keeps ordering
-    deterministic regardless of task scheduling; each shard's fold is
-    one task, so shard count — not corpus size — bounds the serial
-    work."""
-    lines = jsonl_lines(docs, n_shards, id_col, text_col)
-    ordered = F.transform(
-        F.sort_array(F.collect_list(F.struct("doc_id", "line"))),
-        lambda x: x["line"],
-    )
-    return lines.groupBy("shard_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum("n_tokens").cast("long").alias("n_tokens"),
-        F.md5(F.array_join(ordered, "\n")).alias("content_md5"),
+    content_md5 is a TWO-LEVEL Merkle fold: md5 of the newline-joined
+    lines within each ``div(doc_id, chunk_docs)`` chunk (doc-id order),
+    then md5 of the newline-joined chunk hashes (chunk order).  A
+    consumer verifies a downloaded shard by re-chunking on the ids
+    embedded in each line and re-deriving both levels.  A single flat
+    md5-of-all-lines would need one task to materialize the WHOLE shard
+    (~TBs at corpus scale); here task memory is bounded by chunk_docs
+    and the level-2 fold sees only 32-byte hashes — shard count bounds
+    the serial work, chunk width bounds the memory."""
+    return _manifest_from_lines(
+        jsonl_lines(docs, n_shards, id_col, text_col), chunk_docs
     )
 
 
@@ -120,9 +146,10 @@ def jsonl_manifest_sql(
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_docs: int = CHUNK_DOCS,
 ) -> str:
     """DuckDB twin of :func:`jsonl_manifest` — same escapes, same shard
-    math, same ordered md5 fold."""
+    math, same two-level chunked md5 fold."""
     # DuckDB single-quoted literals take backslashes verbatim; control
     # chars are spelled chr(); only ' needs doubling.
     def lit(s: str) -> str:
@@ -152,11 +179,17 @@ def jsonl_manifest_sql(
              '{{"id":' || {id_col}::VARCHAR || ',"text":"' || {esc} || '"}}'
                AS line
       FROM ({docs_sql})
+    ), chunks AS (
+      SELECT shard_id, doc_id // {chunk_docs} AS chunk,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS n_tokens,
+             md5(string_agg(line, chr(10) ORDER BY doc_id)) AS chunk_md5
+      FROM lines GROUP BY shard_id, chunk
     )
-    SELECT shard_id, count(*)::BIGINT AS n_docs,
+    SELECT shard_id, sum(n_docs)::BIGINT AS n_docs,
            sum(n_tokens)::BIGINT AS n_tokens,
-           md5(string_agg(line, chr(10) ORDER BY doc_id)) AS content_md5
-    FROM lines GROUP BY shard_id
+           md5(string_agg(chunk_md5, chr(10) ORDER BY chunk)) AS content_md5
+    FROM chunks GROUP BY shard_id
     """
 
 
@@ -166,13 +199,20 @@ def write_jsonl_corpus(
     n_shards: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    chunk_docs: int = CHUNK_DOCS,
 ) -> DataFrame:
     """Write the corpus as `path/shard_id=K/*.txt` JSONL shard dirs and
     return the manifest.  One shuffle (repartition by shard), then each
     shard streams through the text writer sorted by doc id — at 100 TB
     this is the standard export plan: shard files land in parallel, and
-    the manifest is the only thing a consumer must read to verify."""
-    lines = jsonl_lines(docs, n_shards, id_col, text_col)
+    the manifest is the only thing a consumer must read to verify.
+
+    The serialized lines persist across the two consumers (shard write
+    + manifest fold) so the escape/serialize chain — the most expensive
+    transformation in the export — runs over the corpus once, not
+    twice; the manifest (n_shards rows) materializes eagerly so the
+    cache releases before returning."""
+    lines = jsonl_lines(docs, n_shards, id_col, text_col).persist()
     (
         lines.repartition(n_shards, "shard_id")
         .sortWithinPartitions("shard_id", "doc_id")
@@ -181,4 +221,6 @@ def write_jsonl_corpus(
         .mode("overwrite")
         .text(path)
     )
-    return jsonl_manifest(docs, n_shards, id_col, text_col)
+    manifest = _manifest_from_lines(lines, chunk_docs).localCheckpoint(eager=True)
+    lines.unpersist()
+    return manifest

@@ -111,8 +111,9 @@ def parse_sitemap_blobs(blobs: DataFrame, xml_col: str = "xml") -> DataFrame:
             for blob in pdf[xml_col]:
                 try:
                     root = ET.fromstring(bytes(blob).decode("utf-8"))
-                except ET.ParseError:
-                    continue  # malformed sitemap: skip the blob, not the task
+                except (ET.ParseError, UnicodeDecodeError):
+                    continue  # malformed sitemap (bad XML or non-UTF-8
+                    # bytes): skip the blob, not the task
                 tag = root.tag.split("}")[-1]
                 if tag == "sitemapindex":
                     for sm in root:

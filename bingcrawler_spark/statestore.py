@@ -73,8 +73,14 @@ class SnapshotStore:
 
     def promote(self, token: dict, wave: int, meta: dict | None = None) -> str:
         man = self.manifest(token["table"]) or {"current": -1, "snapshots": []}
-        # single-writer invariant: nothing committed since this stage
-        assert man["current"] + 1 == token["id"], (token, man["current"])
+        # single-writer invariant: nothing committed since this stage.
+        # A real exception, not an assert — the guard protects manifest
+        # integrity and must survive python -O.
+        if man["current"] + 1 != token["id"]:
+            raise RuntimeError(
+                f"stale stage token for {token['table']!r}: token id "
+                f"{token['id']} but manifest is at {man['current']}"
+            )
         man["current"] = token["id"]
         man["snapshots"].append(
             {

@@ -179,7 +179,10 @@ def _sessionize_fn(
     )
     chunks = [pdf["ts"] for pdf in pdfs if len(pdf)]
     if chunks:
-        us = (pd.concat(chunks).astype("int64") // 1000).sort_values()  # ns → µs
+        # a NULL ts has no event time — drop it BEFORE the int64 view
+        # (NaT would otherwise read as int64 min and open a bogus session)
+        ts = pd.concat(chunks).dropna()
+        us = (ts.astype("int64") // 1000).sort_values()  # ns → µs
         for v in us:
             v = int(v)
             if last_us is None or v - last_us > GAP_US:
@@ -260,7 +263,10 @@ def _rate_limit_fn(
     ]
     out_ids, out_hours, out_adm = [], [], []
     if chunks:
-        df = pd.concat(chunks)
+        # NULL ts carries no event time: skip the event rather than let
+        # NaT → int64 min reset the hour window and hand out K fresh
+        # admissions to a key already at its cap
+        df = pd.concat(chunks).dropna(subset=["ts"])
         us = df["ts"].astype("int64") // 1000  # ns → µs
         order = pd.DataFrame(
             {"event_id": df["event_id"].astype("int64"), "us": us}

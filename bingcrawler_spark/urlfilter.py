@@ -26,9 +26,13 @@ PAGE_EXTS = ("html", "htm", "php", "asp", "jsp")
 IMAGE_EXTS = ("jpg", "jpeg", "png", "gif", "webp", "ico")
 ASSET_EXTS = ("css", "js", "woff", "woff2", "svg", "map")
 
-_SCHEME_RE = r"^([a-z][a-z0-9+.-]*)://"
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
-_PATH_RE = r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?"
+# scheme letters are case-insensitive per RFC 3986 §3.1 (mixed-case
+# schemes are routine in scraped href attributes); the extracted
+# scheme/host are lowercased below so downstream gates and groupings see
+# the canonical form — canon_collapse in this module does the same.
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+(/[^?#]*)?"
 # query = text after the FIRST '?' that precedes any '#': '[^#]*?' cannot
 # cross a '#', so a '?' inside the fragment (hash-routed SPA URLs like
 # /page#/route?utm_source=x) is NOT a query component (RFC 3986 §3.4)
@@ -58,7 +62,7 @@ def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
     must collapse to one frontier entry, or 10^10-URL frontiers fill
     with tracking mirrors)."""
     u = F.col(url_col)
-    scheme = F.regexp_extract(u, _SCHEME_RE, 1)
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
     path = F.regexp_extract(u, _PATH_RE, 1)
     query = F.regexp_extract(u, _QUERY_RE, 1)
     ext = F.regexp_extract(path, _EXT_RE, 1)
@@ -80,7 +84,7 @@ def url_features(urls: DataFrame, url_col: str = "url") -> DataFrame:
     return urls.select(
         u.alias("url"),
         scheme.alias("scheme"),
-        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)).alias("host"),
         path_depth.alias("path_depth"),
         n_params.alias("n_params"),
         has_tracking.alias("has_tracking"),
@@ -97,8 +101,8 @@ def url_features_sql(urls_sql: str, url_col: str = "url") -> str:
     return f"""
     WITH parts AS (
       SELECT {url_col} AS url,
-             regexp_extract({url_col}, '{_SCHEME_RE}', 1) AS scheme,
-             regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
+             lower(regexp_extract({url_col}, '{_SCHEME_RE}', 1)) AS scheme,
+             lower(regexp_extract({url_col}, '{_HOST_RE}', 1)) AS host,
              regexp_extract({url_col}, '{_PATH_RE}', 1) AS path,
              regexp_extract({url_col}, '^[^#]*?\\?([^#]*)', 1) AS query
       FROM ({urls_sql})
@@ -230,7 +234,7 @@ def dust_rules(
     parsed = pages.select(
         u.alias("url"),
         F.col(sig_col).alias("sig"),
-        F.regexp_extract(u, _HOST_RE, 1).alias("host"),
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)).alias("host"),
         base.alias("base"),
         params.alias("params"),
         names.alias("names"),
@@ -293,7 +297,7 @@ def dust_rules_sql(
     return f"""
     WITH parsed AS (
       SELECT {url_col} AS url, {sig_col} AS sig,
-             regexp_extract({url_col}, '{_HOST_RE}', 1) AS host,
+             lower(regexp_extract({url_col}, '{_HOST_RE}', 1)) AS host,
              regexp_extract({url_col}, '^([^?#]*)', 1) AS base,
              list_filter(
                string_split(regexp_extract({url_col}, '^[^#]*?\\?([^#]*)', 1), '&'),

@@ -158,6 +158,9 @@ def _split_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
             return  # malformed length: records past it can't be located —
             # stop this stream, don't fail the task (real buckets carry
             # the occasional mangled header)
+        if clen < 0:
+            return  # negative length is equally mangled — and would rewind
+            # pos, re-yielding the same record in an unbounded loop
         body_start = end_hdr + 4
         yield hdrs, raw[body_start : body_start + clen]
         pos = body_start + clen

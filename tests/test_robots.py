@@ -101,3 +101,27 @@ def test_wave_gate_wildcard_agent_case_insensitive(spark):
     urls = spark.createDataFrame([("http://u.com/z/1",)], "url string")
     got = RB.robots_gate(urls, rules).collect()[0]
     assert got.allowed == 0
+
+
+def test_rules_table_multi_agent_group_binds_to_all(spark):
+    """RFC 9309 §2.1 on the per-host rules-table parser
+    (bingcrawler_spark.robots): consecutive User-agent lines — even with
+    a blank line between them — form ONE group, so a Disallow under
+    'badbot' + '*' applies to '*' too.  Regression: last-agent-wins state
+    once dropped the '*' binding entirely."""
+    from bingcrawler_spark.robots import parse_robots
+
+    txt = (
+        "User-agent: badbot\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /other-only\n"
+        "Crawl-delay: 9\n"
+    )
+    df = spark.createDataFrame([("g.com", txt)], "host string, robots_txt string")
+    out = parse_robots(df).collect()[0]
+    assert list(out["disallow_prefixes"]) == ["/private"]
+    assert out["crawl_delay"] is None  # delay sits in the 'other' group

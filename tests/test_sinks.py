@@ -59,9 +59,13 @@ def test_manifest_matches_duckdb(spark):
 
 def test_written_shards_verify_against_manifest(spark):
     out = os.path.join(tempfile.mkdtemp(), "corpus")
+    # chunk_docs=2 forces multiple Merkle chunks per shard so the
+    # two-level consumer derivation below is exercised for real
     manifest = {
         r["shard_id"]: r
-        for r in SK.write_jsonl_corpus(_df(spark), out, n_shards=4).collect()
+        for r in SK.write_jsonl_corpus(
+            _df(spark), out, n_shards=4, chunk_docs=2
+        ).collect()
     }
     total = 0
     for shard_dir in glob.glob(os.path.join(out, "shard_id=*")):
@@ -73,9 +77,22 @@ def test_written_shards_verify_against_manifest(spark):
         total += len(lines)
         m = manifest[sid]
         assert m["n_docs"] == len(lines)
-        # file bytes ARE the manifest checksum input (doc-id order)
+        # consumer-side verification: re-chunk the downloaded file on the
+        # ids embedded in each line, md5 per chunk (doc-id order), then
+        # md5 the chunk hashes (chunk order) — the manifest's two-level
+        # Merkle contract
+        by_chunk: dict[int, list[tuple[int, str]]] = {}
+        for ln in lines:
+            did = json.loads(ln)["id"]
+            by_chunk.setdefault(did // 2, []).append((did, ln))
+        chunk_md5s = [
+            hashlib.md5(
+                "\n".join(ln for _, ln in sorted(by_chunk[c])).encode()
+            ).hexdigest()
+            for c in sorted(by_chunk)
+        ]
         assert m["content_md5"] == hashlib.md5(
-            "\n".join(lines).encode()
+            "\n".join(chunk_md5s).encode()
         ).hexdigest()
         # shard files round-trip to the original docs
         docs = dict(_DOCS)

@@ -32,6 +32,9 @@ def test_malformed_blob_skipped(spark):
             (b"<urlset><url><loc>https://b.example/2</loc>"
              b"<priority>0.7</priority></url></urlset>",),  # no namespace: ok
             (b"this is not xml <<<",),
+            # non-UTF-8 bytes (latin-1 curly apostrophe, common in real
+            # sitemaps) must skip the BLOB, not kill the task
+            (b"<urlset><url><loc>https://c.example/caf\x92</loc></url></urlset>",),
         ],
         "xml binary",
     )

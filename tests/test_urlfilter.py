@@ -23,6 +23,9 @@ CASES = [
     # real query AND a fragment carrying a second '?': only the pre-'#'
     # query counts
     ("http://a.example/p?id=1#frag?utm_source=x", "http", "a.example", 1, 1, 0, "none", 1),
+    # scheme/host are case-insensitive (RFC 3986): mixed-case input still
+    # classifies and keeps, with canonical lowercase scheme/host out
+    ("HTTP://A.Example/Index.html", "http", "a.example", 1, 0, 0, "page", 1),
 ]
 
 

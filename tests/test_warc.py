@@ -55,6 +55,20 @@ def test_split_skips_non_response_and_tolerates_truncation():
     assert [h["warc-type"] for h, _ in recs] == ["warcinfo", "response"]
 
 
+def test_split_rejects_negative_content_length():
+    """A negative Content-Length would rewind the scan position onto the
+    record's own header — without the guard the parser re-yields the same
+    record forever.  Mangled-length streams stop cleanly instead."""
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -66\r\n\r\nbody"
+    )
+    assert list(W._split_records(bad)) == []
+    good = W.build_record("https://a.example/1", "2024-01-01T00:00:00Z", b"ok")
+    # records BEFORE the mangled one still parse; the stream stops there
+    recs = list(W._split_records(good + bad))
+    assert [h["warc-type"] for h, _ in recs] == ["response"]
+
+
 def test_gzip_members_roundtrip():
     r1 = W.build_record("https://g.example/1", "2024-01-01T00:00:00Z", b"one")
     r2 = W.build_record("https://g.example/2", "2024-01-01T00:00:01Z", b"two")

@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from bingcrawler_spark.indexing import sql_lit
+
 TOP_COUNT = 50  # BingDataAnalysis.java:97
 
 
@@ -127,14 +129,9 @@ def rank_profiles_3way(profiles: DataFrame, k: int = TOP_COUNT) -> DataFrame:
         "title",
         (F.size("download_urls") + F.size("source_urls")).cast("long").alias("weight"),
     )
-    out = []
-    for m in (m1, m2, m3):
-        w = W.orderBy(F.col("weight").desc(), F.col("title").desc())
-        out.append(
-            m.withColumn("rank", F.row_number().over(w).cast("int")).where(
-                F.col("rank") <= k
-            )
-        )
+    # the R7 tie-break contract (weight DESC, key DESC) lives in ONE
+    # place — _ranked — so the three rankings cannot drift from top-K
+    out = [_ranked(m, "weight", "title", k) for m in (m1, m2, m3)]
     return out[0].unionByName(out[1]).unionByName(out[2])
 
 
@@ -307,12 +304,15 @@ def allpairs_simhash_report(fps: DataFrame, nearest: int = 10) -> DataFrame:
     the reference's all-pairs loop — kept as the oracle-scale ground truth
     for banded_nn_report (the registered scale path); not in the driver
     catalog."""
-    a = fps.select(F.col("title").alias("t_a"), F.col("simhash").alias("h_a"))
-    b = fps.select(F.col("title").alias("t_b"), F.col("simhash").alias("h_b"))
+    # NULL fingerprints are excluded up front, matching banded_nn_report
+    # (whose band join can never match a NULL hash) — a NULL→-1 distance
+    # would sort FIRST and displace real nearest neighbors at rank 1,
+    # making the "exact" form disagree with the scale path on NULL rows
+    nn = fps.where(F.col("simhash").isNotNull())
+    a = nn.select(F.col("title").alias("t_a"), F.col("simhash").alias("h_a"))
+    b = nn.select(F.col("title").alias("t_b"), F.col("simhash").alias("h_b"))
     pairs = a.crossJoin(b).where(F.col("t_a") != F.col("t_b"))
-    dist = F.when(
-        F.col("h_a").isNull() | F.col("h_b").isNull(), F.lit(-1)
-    ).otherwise(F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))))
+    dist = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     w = W.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
     return (
         pairs.withColumn("distance", dist.cast("int"))
@@ -414,16 +414,16 @@ def funnel_stages(events: DataFrame, stages: list[str]) -> DataFrame:
 def funnel_stages_sql(events_sql: str, stages: list[str]) -> str:
     ctes = [
         f"s0 AS (SELECT user_id, min(ts) AS t FROM ({events_sql})"
-        f" WHERE event_type = '{stages[0]}' GROUP BY user_id)"
+        f" WHERE event_type = {sql_lit(stages[0])} GROUP BY user_id)"
     ]
     for i, s in enumerate(stages[1:], start=1):
         ctes.append(
             f"s{i} AS (SELECT e.user_id, min(e.ts) AS t"
             f" FROM ({events_sql}) e JOIN s{i - 1} p ON p.user_id = e.user_id"
-            f" WHERE e.event_type = '{s}' AND e.ts > p.t GROUP BY e.user_id)"
+            f" WHERE e.event_type = {sql_lit(s)} AND e.ts > p.t GROUP BY e.user_id)"
         )
     sel = "\nUNION ALL ".join(
-        f"SELECT '{s}' AS stage, count(*)::BIGINT AS n_users FROM s{i}"
+        f"SELECT {sql_lit(s)} AS stage, count(*)::BIGINT AS n_users FROM s{i}"
         for i, s in enumerate(stages)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + sel
@@ -534,7 +534,7 @@ def error_spikes_sql(
       SELECT (date_diff('day', DATE '{epoch}', ts::DATE) * 24
               + extract(hour FROM ts))::BIGINT AS hour_idx,
              count(*)::BIGINT AS n_errors
-      FROM ({events_sql}) WHERE event_type = '{kind}'
+      FROM ({events_sql}) WHERE event_type = {sql_lit(kind)}
       GROUP BY 1),
     t AS (
       SELECT hour_idx, n_errors,

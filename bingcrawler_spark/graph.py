@@ -98,23 +98,6 @@ def _grouped_edges(edges: DataFrame):
     return ge, ow, hosts
 
 
-def _damped_rank(
-    edges: DataFrame,
-    n_iter: int = 5,
-    checkpoint_every: int = 2,
-    seed_mod: int | None = None,
-) -> DataFrame:
-    """The damped int64 fixed-point loop shared by host_pagerank
-    (uniform teleport, seed_mod=None) and host_trustrank (teleport and
-    init mass restricted to hosts where host % seed_mod == 0)."""
-    ge, ow, hosts = _grouped_edges(edges)
-    ranks = _damped_loop(ge, hosts, n_iter, checkpoint_every, seed_mod)
-    ranks = ranks.localCheckpoint(eager=True)
-    for c in (ge, ow, hosts):
-        c.unpersist()
-    return ranks
-
-
 def _damped_loop(
     ge: DataFrame,
     hosts: DataFrame,
@@ -286,8 +269,8 @@ def host_trustrank(
     identical to host_pagerank (|hosts|-sized shuffles per iteration,
     corpus read once into the grouped edge list)."""
     # the grouped edge list and host universe are built ONCE and shared
-    # by both damped chains — calling host_pagerank + _damped_rank here
-    # would re-aggregate the edge multigraph three times over
+    # by both damped chains — calling host_pagerank twice here would
+    # re-aggregate the edge multigraph per chain
     ge, ow, hosts = _grouped_edges(edges)
     pr = _damped_loop(ge, hosts, n_iter, checkpoint_every, None).select(
         "host", F.col("r").alias("rank_fp")
@@ -393,8 +376,12 @@ def host_hits(
             "host", F.expr(f"div({col} * {INIT_FP}, m)").alias(col)
         )
 
+    if n_iter < 1:
+        raise ValueError("host_hits needs n_iter >= 1")
+    # no auth init: the first half-step derives authorities purely from
+    # the hub seed (matching the SQL twin's CTE chain), and every
+    # iteration assigns auth before hub reads it
     hub = hosts.withColumn("h", F.lit(INIT_FP).cast("long"))
-    auth = hosts.withColumn("a", F.lit(0).cast("long"))
     for i in range(n_iter):
         araw = (
             g.join(hub.withColumnRenamed("host", "sh"), F.col("sh") == g["s"])

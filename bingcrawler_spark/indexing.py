@@ -32,6 +32,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+
+def sql_lit(s: str) -> str:
+    """Single-quoted DuckDB string literal with embedded quotes doubled.
+    Every oracle builder that inlines a caller-supplied term/probe/stage
+    string routes it through here — a raw f-string would emit invalid
+    SQL for any value containing a quote (e.g. "o'brien")."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 K1 = 1.2
 B = 0.75
 
@@ -139,7 +148,7 @@ def bm25_sql(
     from_docs: str, terms: list[str], k1: float = K1, b: float = B, limit: int = 20
 ) -> str:
     tf_cols = ",\n             ".join(
-        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{i}"
+        f"len(list_filter(toks, x -> x = {sql_lit(t)}))::BIGINT AS tf{i}"
         for i, t in enumerate(terms)
     )
     df_cols = ",\n             ".join(
@@ -228,7 +237,7 @@ def phrase_match_sql(from_docs: str, phrase: list[str]) -> str:
     reported 0-based to match posexplode) where toks[i..i+m-1] == phrase."""
     m = len(phrase)
     conds = " AND ".join(
-        f"toks[i + {j}] = '{t}'" for j, t in enumerate(phrase)
+        f"toks[i + {j}] = {sql_lit(t)}" for j, t in enumerate(phrase)
     )
     return f"""
     WITH d AS (
@@ -296,7 +305,7 @@ def snippet_extract_sql(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> str:
-    vals = ", ".join(f"('{t}')" for t in terms)
+    vals = ", ".join(f"({sql_lit(t)})" for t in terms)
     w = window
     return f"""
     WITH base AS (
@@ -507,6 +516,6 @@ def tfidf_keywords_sql(from_docs: str, top_k: int = 3, min_len: int = 4) -> str:
              ) AS rank
       FROM scored
     )
-    SELECT doc_id, term, tf, df, score_e4, rank
+    SELECT doc_id, term, tf, df, score_e4, rank::INT AS rank
     FROM ranked WHERE rank <= {top_k}
     """

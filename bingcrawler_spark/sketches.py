@@ -100,10 +100,12 @@ def hll_distinct(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     )
     exact = df.agg(F.countDistinct(col).cast("long").alias("exact_distinct"))
     zeros = F.lit(m) - F.col("nonzero_regs")
-    # empty registers have rho=0 and contribute 2^61 each to the exact sum
-    s_total = F.col("s_exact") + zeros.cast("decimal(38,0)") * F.lit(1 << 61).cast(
-        "decimal(38,0)"
-    )
+    # empty registers have rho=0 and contribute 2^61 each to the exact sum;
+    # coalesce: on EMPTY input sum() is NULL and would poison the estimate
+    # (the linear-counting branch then correctly reports 0)
+    s_total = F.coalesce(
+        F.col("s_exact"), F.lit(0).cast("decimal(38,0)")
+    ) + zeros.cast("decimal(38,0)") * F.lit(1 << 61).cast("decimal(38,0)")
     raw = F.lit(const) / s_total.cast("double")
     est = F.when(
         (raw <= F.lit(2.5 * m)) & (zeros > 0),
@@ -144,7 +146,7 @@ def hll_sql(from_sql: str, col: str, p: int = HLL_P) -> str:
     hll_regs AS (SELECT reg, max(rho) AS r FROM hll_rho GROUP BY reg),
     hll_agg AS (
       SELECT count(*)::BIGINT AS nonzero_regs,
-             sum((1::BIGINT << (61 - r)))::HUGEINT
+             coalesce(sum((1::BIGINT << (61 - r)))::HUGEINT, 0::HUGEINT)
                + ({m} - count(*))::HUGEINT * (1::HUGEINT << 61) AS s_total
       FROM hll_regs
     ),
@@ -205,7 +207,10 @@ def cms_build(docs: DataFrame, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
 # the Spark side reuses indexing._toks_col for tokenizer parity, so the
 # DuckDB side must reuse indexing's SQL constant too — a re-declared
 # copy would silently desynchronize when the regex is tweaked
-from bingcrawler_spark.indexing import _TOKENIZE as _CMS_TOKENIZE  # noqa: E402
+from bingcrawler_spark.indexing import (  # noqa: E402
+    _TOKENIZE as _CMS_TOKENIZE,
+    sql_lit,
+)
 
 
 def cms_sql(from_docs: str, d: int = CMS_D, w: int = CMS_W) -> str:
@@ -257,7 +262,7 @@ def cms_point_sql(
     from_docs: str, probes: list[str], d: int = CMS_D, w: int = CMS_W
 ) -> str:
     key_rows = ", ".join(
-        f"('{t}', {s}, {cms_idx(s, t, w)})" for t in probes for s in range(d)
+        f"({sql_lit(t)}, {s}, {cms_idx(s, t, w)})" for t in probes for s in range(d)
     )
     return f"""
     WITH counters AS ({cms_sql(from_docs, d, w)}),
@@ -272,7 +277,7 @@ def cms_point_sql(
     ),
     tru AS (
       SELECT term, count(*)::BIGINT AS true_cnt FROM toks
-      WHERE term IN ({', '.join(f"'{t}'" for t in probes)})
+      WHERE term IN ({', '.join(sql_lit(t) for t in probes)})
       GROUP BY term
     )
     SELECT e.term, e.est_cnt, coalesce(t.true_cnt, 0)::BIGINT AS true_cnt
@@ -325,7 +330,6 @@ def hist_quantiles(
         .crossJoin(F.broadcast(total))
         .persist()
     )
-    width = (hi - lo) // n_bins
     out = None
     for p in ps:
         q = (
@@ -335,7 +339,16 @@ def hist_quantiles(
             .select(
                 F.lit(p).cast("int").alias("p"),
                 F.col("bin").cast("long").alias("bin"),
-                (F.lit(lo) + (F.col("bin") + 1) * width)
+                # EXACT bin upper bound via ceiling division — a truncated
+                # shared width would sit BELOW the boundary whenever
+                # (hi-lo) % n_bins != 0, breaking the conservative
+                # "true quantile <= estimate" guarantee
+                (
+                    F.lit(lo)
+                    + F.expr(
+                        f"div((bin + 1) * {hi - lo} + {n_bins - 1}, {n_bins})"
+                    )
+                )
                 .cast("long")
                 .alias("est_cents"),
                 F.col("cum").cast("long").alias("cum_n"),
@@ -356,7 +369,6 @@ def hist_quantiles_sql(
     ps: tuple[int, ...] = (50, 90, 99),
 ) -> str:
     """DuckDB twin over a relation exposing one BIGINT column `v`."""
-    width = (hi - lo) // n_bins
     p_rows = ", ".join(f"({p})" for p in ps)
     return f"""
     WITH __hq_vals AS (SELECT v FROM ({cents_sql})),
@@ -373,7 +385,8 @@ def hist_quantiles_sql(
       FROM hist
     )
     SELECT p::INT AS p, bin::BIGINT AS bin,
-           ({lo} + (bin + 1) * {width})::BIGINT AS est_cents,
+           ({lo} + ((bin + 1) * {hi - lo} + {n_bins - 1}) // {n_bins})::BIGINT
+             AS est_cents,
            cum::BIGINT AS cum_n, total::BIGINT AS total_n
     FROM (SELECT p, bin, cum, total,
                  row_number() OVER (PARTITION BY p ORDER BY bin) AS rn

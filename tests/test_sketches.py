@@ -169,3 +169,65 @@ def test_hist_quantiles_clamps_and_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_hist_quantiles_conservative_when_width_truncates(spark):
+    """(hi-lo) not divisible by n_bins: the bin upper bound must use
+    CEILING division so the estimate stays >= the true quantile.
+    Regression: a truncated shared width put p99 ~4% BELOW the truth."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark import sketches as SK
+
+    # lo=0, hi=1000, 64 bins: width 15.625 — truncation would give 15
+    vals = spark.range(1000).select(F.col("id").cast("long").alias("v"))
+    rows = {
+        r["p"]: r
+        for r in SK.hist_quantiles(vals, 0, 1000, n_bins=64, ps=(50, 99)).collect()
+    }
+    for p, r in rows.items():
+        true_q = p * 1000 // 100 - 1  # uniform 0..999
+        assert r["est_cents"] >= true_q, (p, r)
+        # and still within one bin width of the truth
+        assert r["est_cents"] - true_q <= (1000 + 63) // 64, (p, r)
+    con = duckdb.connect()
+    con.register("vals", vals.toPandas())
+    want = sorted(
+        tuple(x)
+        for x in con.sql(
+            SK.hist_quantiles_sql("SELECT v FROM vals", 0, 1000, 64, (50, 99))
+        ).fetchall()
+    )
+    got = sorted(tuple(x) for x in rows.values())
+    assert got == want
+
+
+def test_hll_empty_input_reports_zero(spark):
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from bingcrawler_spark import sketches as SK
+
+    empty = spark.createDataFrame([], "u string")
+    r = SK.hll_distinct(empty, "u").collect()[0]
+    assert (r["nonzero_regs"], r["hll_est"], r["exact_distinct"]) == (0, 0, 0)
+
+
+def test_cms_point_sql_survives_quoted_probe(spark):
+    """A probe containing a single quote must produce VALID oracle SQL
+    (sql_lit doubles the quote) and agree with the Spark side."""
+    import duckdb
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    probes = ["o'brien", "fox"]
+    got = sorted(tuple(r) for r in SK.cms_point(df, probes).collect())
+    con = duckdb.connect()
+    con.register("documents", df.toPandas())
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            SK.cms_point_sql("SELECT text FROM documents", probes)
+        ).fetchall()
+    )
+    assert got == ref

@@ -2387,18 +2387,21 @@ def p18_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p19_rel_canonical",
     """
     SELECT doc_id,
-           (doc_id % 5 <> 3)::INT AS has_canonical,
-           CASE doc_id % 5
+           (doc_id % 7 <> 3)::INT AS has_canonical,
+           CASE doc_id % 7
              WHEN 0 THEN 'http://h' || (doc_id % 20)::VARCHAR
                          || '.example/it/' || doc_id::VARCHAR
              WHEN 1 THEN 'http://h' || (doc_id % 20)::VARCHAR
-                         || '.example/canon/' || (doc_id // 5)::VARCHAR
+                         || '.example/canon/' || (doc_id // 7)::VARCHAR
              WHEN 2 THEN 'http://mirror.example/it/' || doc_id::VARCHAR
              WHEN 4 THEN 'http://h' || (doc_id % 20)::VARCHAR
-                         || '.example/canon/' || (doc_id // 5)::VARCHAR
+                         || '.example/canon/' || (doc_id // 7)::VARCHAR
+             WHEN 5 THEN 'http://mirror.example/it/' || doc_id::VARCHAR
+             WHEN 6 THEN 'http://h' || (doc_id % 20)::VARCHAR
+                         || '.example/it/canon/' || (doc_id // 7)::VARCHAR
            END AS canonical,
-           (doc_id % 5 = 0)::INT AS is_self,
-           (doc_id % 5 = 2)::INT AS cross_host
+           (doc_id % 7 = 0)::INT AS is_self,
+           (doc_id % 7 IN (2, 5))::INT AS cross_host
     FROM documents
     """,
 )

@@ -56,6 +56,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from bingcrawler_spark.functions.canon import py_unescape_entities as _unescape
+
 # ------------------------------------------------------------------ mini-DOM
 
 
@@ -168,18 +170,9 @@ _CITEDBY_RE = re.compile(r"Cited by:(.*)")
 
 BING_PREFIX = "http://www.bing.com"
 
-# the fixed 8-entity map, in the reference's replacement order
-# (BingAnalysis.java:421-431 == Util.java:205-215, P3)
-_ENTITIES = [
-    ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&yen;", "¥"),
-    ("&cent;", "¢"), ("&copy;", "©"), ("&reg;", "®"), ("&trade;", "™"),
-]
-
-
-def _unescape(s: str) -> str:
-    for k, v in _ENTITIES:
-        s = s.replace(k, v)
-    return s
+# the fixed 8-entity map lives in canon.py (P3, imported above as
+# _unescape); BingAnalysis.java:421-431 applies the same table as
+# Util.java:205-215, so one shared definition keeps P3 and P7 aligned
 
 
 def _is(node: _Node, prefix: str, marker: str | None = None) -> bool:

@@ -44,11 +44,16 @@ def py_canon_url(url: str) -> str:
 
 
 def canon_url_col(url: Column) -> Column:
-    # after-last-'#' suffix; prefix length = len - len(suffix) - 1
+    # after-last-'#' suffix; prefix length = len - len(suffix) - 1.
+    # The newline guard mirrors the Java/Python twin exactly: '.' does
+    # not match \n, so Pattern.matches over a newline-bearing URL FAILS
+    # and the URL passes through unchanged — a substring strip here
+    # would diverge from py_canon_url (and the crawl oracle) on those.
     frag = F.substring_index(url, "#", -1)
     prefix_len = F.length(url) - F.length(frag) - 1
     return F.when(
-        url.contains("#") & (prefix_len >= 1), url.substr(F.lit(1), prefix_len)
+        url.contains("#") & (prefix_len >= 1) & ~url.contains("\n"),
+        url.substr(F.lit(1), prefix_len),
     ).otherwise(url)
 
 

@@ -262,26 +262,32 @@ _CANON_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/?#]+)"
 
 def pack_rel_canonical_pages(docs, id_col: str = "doc_id", text_col: str = "text"):
     """Synthetic pages exercising every <link rel="canonical"> arm:
-    absolute self-canonical / same-host other page / cross-host /
-    no tag / host-relative href that must resolve against the page URL."""
+    absolute self-canonical / same-host other page / cross-host / no tag
+    / root-relative / protocol-relative (//host/…) / bare-relative href —
+    the last three must resolve against the page URL per RFC 3986 §5."""
     did = F.col(id_col)
     url = F.concat(
         F.lit("http://h"), (did % 20).cast("string"),
         F.lit(".example/it/"), did.cast("string"),
     )
-    canon_path = F.concat(F.lit("/canon/"), F.expr(f"div({id_col}, 5)").cast("string"))
+    gid = F.expr(f"div({id_col}, 7)").cast("string")
+    canon_path = F.concat(F.lit("/canon/"), gid)
     href = (
-        F.when(did % 5 == 0, url)
-        .when(did % 5 == 1, F.concat(
+        F.when(did % 7 == 0, url)
+        .when(did % 7 == 1, F.concat(
             F.lit("http://h"), (did % 20).cast("string"), F.lit(".example"),
             canon_path,
         ))
-        .when(did % 5 == 2, F.concat(
+        .when(did % 7 == 2, F.concat(
             F.lit("http://mirror.example/it/"), did.cast("string")
         ))
-        .when(did % 5 == 4, canon_path)
+        .when(did % 7 == 4, canon_path)
+        .when(did % 7 == 5, F.concat(
+            F.lit("//mirror.example/it/"), did.cast("string")
+        ))
+        .when(did % 7 == 6, F.concat(F.lit("canon/"), gid))
     )
-    link = F.when(did % 5 == 3, F.lit("")).otherwise(
+    link = F.when(did % 7 == 3, F.lit("")).otherwise(
         F.concat(F.lit('<link rel="canonical" href="'), href, F.lit('">'))
     )
     html = F.concat(
@@ -313,10 +319,22 @@ def rel_canonical_extract(
     )
     host = F.regexp_extract(F.col(url_col), _CANON_HOST_RE, 1)
     scheme = F.regexp_extract(F.col(url_col), r"^([a-z][a-z0-9+.-]*)://", 1)
-    resolved = F.when(href == "", F.lit(None).cast("string")).when(
-        href.startswith("/"),
-        F.concat(scheme, F.lit("://"), host, href),
-    ).otherwise(href)
+    # RFC 3986 §5 reference resolution, the arms a crawler actually sees:
+    # protocol-relative (//host/p → scheme:), root-relative (/p →
+    # scheme://host), absolute (scheme present → verbatim), bare-relative
+    # (p → against the page path's directory)
+    path = F.regexp_extract(
+        F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1
+    )
+    page_dir = F.regexp_extract(path, r"^(.*/)", 1)
+    page_dir = F.when(page_dir == "", F.lit("/")).otherwise(page_dir)
+    resolved = (
+        F.when(href == "", F.lit(None).cast("string"))
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
+        .otherwise(F.concat(scheme, F.lit("://"), host, page_dir, href))
+    )
     has = href != ""
     canon_host = F.regexp_extract(resolved, _CANON_HOST_RE, 1)
     return pages.select(

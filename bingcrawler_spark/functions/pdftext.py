@@ -40,8 +40,12 @@ from pyspark.sql import types as T
 
 _STREAM_START_RE = re.compile(rb"(?<!end)stream\r?\n")
 # direct /Length only — an indirect '/Length 5 0 R' falls through to the
-# endstream scan
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# endstream scan.  The \b pins the WHOLE digit run before the lookahead:
+# without it the engine backtracks '15' -> '1' so '(?!\s+\d+\s+R)'
+# passes and an indirect reference misparses as direct length 1.
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+# the /Filter value: a single name or an array of names
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _OCTAL = "01234567"
 
 
@@ -88,10 +92,17 @@ def _iter_stream_bodies(data: bytes):
                 end = len(data)
             body = data[start:end]
         pos = end
-        if b"/FlateDecode" in d:
-            body = zlib.decompress(body)
-        elif b"/Filter" in d:
-            continue
+        fm = _FILTER_RE.search(d)
+        if fm:
+            names = re.findall(rb"/[A-Za-z0-9]+", fm.group(1))
+            if names == [b"/FlateDecode"]:
+                body = zlib.decompress(body)
+            else:
+                # any other filter — or a CHAIN that merely contains
+                # FlateDecode ([/ASCII85Decode /FlateDecode]) — is
+                # skipped whole; inflating a chained body would feed
+                # zlib the outer encoding and void the entire file
+                continue
         yield body
 
 
@@ -129,6 +140,10 @@ def _scan_content(s: str):
                         i = j
                     elif nxt == "\n":  # line continuation
                         i += 2
+                    elif nxt == "\r":  # continuation, CR or CRLF EOL
+                        i += 2
+                        if i < n and s[i] == "\n":
+                            i += 1
                     else:
                         buf.append(nxt)
                         i += 2

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window as W
 
+from bingcrawler_spark.indexing import sql_lit
+
 _LINE_SPLIT = r"\r?\n"
 # directive matcher: captures (directive, value), comments stripped first
 _DIRECTIVE_RE = r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*$"
@@ -202,9 +204,9 @@ def robots_gate_sql(urls_sql: str, rules_sql: str, agent: str = "bingcrawler") -
       SELECT host, path, agent, directive FROM ({rules_sql})
       WHERE directive IN ('allow', 'disallow')
     ),
-    mine AS (SELECT * FROM r_all WHERE lower(agent) = '{agent.lower()}'),
-    star AS (SELECT * FROM r_all WHERE agent = '*'
-             AND host NOT IN (SELECT host FROM mine)),
+    mine AS (SELECT * FROM r_all WHERE lower(agent) = {sql_lit(agent.lower())}),
+    star AS (SELECT * FROM r_all s WHERE agent = '*'
+             AND NOT EXISTS (SELECT 1 FROM mine m WHERE m.host = s.host)),
     r AS (
       SELECT host, path AS rule_path, (directive = 'allow')::INT AS is_allow
       FROM (SELECT * FROM mine UNION ALL SELECT * FROM star)

@@ -104,7 +104,11 @@ def page_links(i: int, n_pages: int, n_hosts: int) -> list[tuple[str, str]]:
             out.append(("a", _href(target.split(".example", 1)[1])))
         elif form == 2:
             out.append(("a", _href(target) + f"#frag{k}"))
-        elif form == 4 and k % 9 == 5:
+        elif form == 4 and k == 9:
+            # k=9 satisfies both k%5==4 and the high-degree gate (deg>=10,
+            # ~27% of pages), so iframe edges genuinely occur in the graph
+            # — the old `k % 9 == 5` arm needed k≡14 (mod 45), impossible
+            # for k <= 11, so NO synthetic page ever carried an iframe
             out.append(("iframe", _href(target)))
         else:
             out.append(("a", _href(target)))
@@ -115,9 +119,13 @@ def page_html(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> bytes:
     """n_words sizes each body paragraph — default 30 keeps the parity
     fixtures byte-stable; the bench passes hundreds to make page size (and
     therefore parse cost) realistic for Common-Crawl-style html."""
-    lang = "zh" if i % _ZH_MOD == 11 else "en"
-    vocab = _ZH_VOCAB if lang == "zh" else _EN_VOCAB
     base = i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i
+    # near-dups inherit the BASE page's language/vocab: deriving vocab
+    # from i would make the "one word differs from page i-1" invariant
+    # false whenever the moduli collide (first at i=5152, where i is a
+    # zh row but i-1 was generated from the en vocab)
+    lang = "zh" if base % _ZH_MOD == 11 else "en"
+    vocab = _ZH_VOCAB if lang == "zh" else _EN_VOCAB
     title = " ".join(_words(base, 7, 5, vocab))
     p1 = " ".join(_words(base, 8, n_words, vocab))
     p2 = " ".join(_words(base, 9, n_words, vocab))
@@ -147,7 +155,11 @@ def page_row(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> dict:
         "warc_ts": pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(seconds=i),
         "html": html,
         "text": py_extract_text(html),  # invariant by construction
-        "lang": "zh" if i % _ZH_MOD == 11 else "en",
+        # same base-inheritance rule as page_html so the label always
+        # matches the vocabulary the text was actually generated from
+        "lang": "zh"
+        if (i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i) % _ZH_MOD == 11
+        else "en",
     }
 
 

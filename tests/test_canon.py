@@ -28,6 +28,10 @@ URLS = [
     "ftp://x/y",
     "",
     "http://h.example/p/2#frag",
+    # newline-bearing URLs: Java's '.' excludes \n, so Pattern.matches
+    # FAILS and the fragment survives — the Column twin must agree
+    "http://a.example/p\n/x#frag",
+    "http://a.example/p/x#fr\nag",
 ]
 
 

@@ -177,6 +177,12 @@ def test_rel_canonical_arms(spark):
         # host-relative: resolves against the page scheme+host
         (5, "https://a.example/p/5?v=1",
          '<html><head><link rel="canonical" href="/p/5"></head></html>'),
+        # protocol-relative: inherits the page scheme, NOT its host
+        (6, "http://a.example/p/6",
+         '<html><head><link rel="canonical" href="//cdn.example/p/6"></head></html>'),
+        # bare-relative: resolves against the page path's directory
+        (7, "http://a.example/p/7",
+         '<html><head><link rel="canonical" href="canon/7"></head></html>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string, html string")
     got = {r["doc_id"]: (r["has_canonical"], r["canonical"], r["is_self"],
@@ -187,21 +193,27 @@ def test_rel_canonical_arms(spark):
     assert got[3] == (1, "http://m.example/p/3", 0, 1)
     assert got[4] == (0, None, 0, 0)
     assert got[5] == (1, "https://a.example/p/5", 0, 0)
+    assert got[6] == (1, "http://cdn.example/p/6", 0, 1)
+    assert got[7] == (1, "http://a.example/p/canon/7", 0, 0)
 
 
 def test_rel_canonical_pack_roundtrip(spark):
     docs = spark.createDataFrame(
-        [(i, "body text") for i in range(10)], "doc_id long, text string"
+        [(i, "body text") for i in range(14)], "doc_id long, text string"
     )
     pages = EX.pack_rel_canonical_pages(docs)
     got = {r["doc_id"]: r for r in EX.rel_canonical_extract(pages).collect()}
-    for d in range(10):
+    for d in range(14):
         r = got[d]
-        assert r["has_canonical"] == (0 if d % 5 == 3 else 1)
-        assert r["is_self"] == (1 if d % 5 == 0 else 0)
-        assert r["cross_host"] == (1 if d % 5 == 2 else 0)
-        if d % 5 in (1, 4):  # absolute and relative arms resolve identically
-            assert r["canonical"] == f"http://h{d % 20}.example/canon/{d // 5}"
+        assert r["has_canonical"] == (0 if d % 7 == 3 else 1)
+        assert r["is_self"] == (1 if d % 7 == 0 else 0)
+        assert r["cross_host"] == (1 if d % 7 in (2, 5) else 0)
+        if d % 7 in (1, 4):  # absolute and root-relative resolve identically
+            assert r["canonical"] == f"http://h{d % 20}.example/canon/{d // 7}"
+        if d % 7 == 5:  # protocol-relative picks up the page scheme
+            assert r["canonical"] == f"http://mirror.example/it/{d}"
+        if d % 7 == 6:  # bare-relative resolves under the /it/ directory
+            assert r["canonical"] == f"http://h{d % 20}.example/it/canon/{d // 7}"
 
 
 def test_hreflang_extract_and_pack(spark):

@@ -2409,9 +2409,10 @@ def p19_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """<link rel="canonical"> roundtrip — the page-side dedup signal a
     production indexer honors before collapse (the reference indexes
     fetched URLs verbatim; URL-side canon is SURVEY §2 P1).  Pack
-    exercises absolute-self / same-host / cross-host / absent /
-    host-relative arms; extract resolves relative hrefs against the
-    page URL; the oracle re-derives all five arms arithmetically."""
+    exercises seven arms (mod 7): absolute-self / same-host absolute /
+    cross-host / absent / root-relative / protocol-relative (//host/…) /
+    bare-relative; extract resolves the relative forms against the page
+    URL per RFC 3986 §5; the oracle re-derives all seven arithmetically."""
     from bingcrawler_spark.functions import extract as EX
 
     pages = EX.pack_rel_canonical_pages(

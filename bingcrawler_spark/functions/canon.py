@@ -32,9 +32,13 @@ from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------- P1: canon
 
-# Java Pattern.matches("(.+)#(.*)") — greedy, '.' does not match newline,
-# whole-string match. Group 1 therefore ends at the LAST '#'.
-_FRAGMENT_RE = re.compile(r"(.+)#(.*)")
+# Java Pattern.matches("(.+)#(.*)") — greedy, whole-string match; group 1
+# therefore ends at the LAST '#'.  Java's '.' excludes ALL five line
+# terminators (\n \r \u0085 \u2028 \u2029), not just \n like Python's, so
+# the twin spells the class out — a URL containing any of them fails the
+# whole-string match and passes through unchanged.
+_JAVA_DOT = "[^\n\r\x85\u2028\u2029]"
+_FRAGMENT_RE = re.compile(f"({_JAVA_DOT}+)#({_JAVA_DOT}*)")
 
 
 def py_canon_url(url: str) -> str:
@@ -45,14 +49,17 @@ def py_canon_url(url: str) -> str:
 
 def canon_url_col(url: Column) -> Column:
     # after-last-'#' suffix; prefix length = len - len(suffix) - 1.
-    # The newline guard mirrors the Java/Python twin exactly: '.' does
-    # not match \n, so Pattern.matches over a newline-bearing URL FAILS
-    # and the URL passes through unchanged — a substring strip here
-    # would diverge from py_canon_url (and the crawl oracle) on those.
+    # The line-terminator guard mirrors the Java/Python twin exactly:
+    # Java's '.' matches none of \n \r \u0085 \u2028 \u2029, so
+    # Pattern.matches over a URL containing any of them FAILS and the
+    # URL passes through unchanged — a bare substring strip here would
+    # diverge from py_canon_url (and the crawl oracle) on those.
     frag = F.substring_index(url, "#", -1)
     prefix_len = F.length(url) - F.length(frag) - 1
     return F.when(
-        url.contains("#") & (prefix_len >= 1) & ~url.contains("\n"),
+        url.contains("#")
+        & (prefix_len >= 1)
+        & ~url.rlike("[\n\r\u0085\u2028\u2029]"),
         url.substr(F.lit(1), prefix_len),
     ).otherwise(url)
 

@@ -321,19 +321,41 @@ def rel_canonical_extract(
     scheme = F.regexp_extract(F.col(url_col), r"^([a-z][a-z0-9+.-]*)://", 1)
     # RFC 3986 §5 reference resolution, the arms a crawler actually sees:
     # protocol-relative (//host/p → scheme:), root-relative (/p →
-    # scheme://host), absolute (scheme present → verbatim), bare-relative
-    # (p → against the page path's directory)
+    # scheme://host), query-only (?q keeps the full base path, §5.3),
+    # fragment-only (#x keeps base path+query), absolute (scheme present
+    # → verbatim), bare-relative (p → against the page path's directory,
+    # with bounded §5.2.4 dot-segment removal)
     path = F.regexp_extract(
         F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/?#]+(/[^?#]*)?", 1
     )
+    base_path = F.when(path == "", F.lit("/")).otherwise(path)
+    base_query = F.regexp_extract(F.col(url_col), r"^[^#]*?(\?[^#]*)", 1)
     page_dir = F.regexp_extract(path, r"^(.*/)", 1)
     page_dir = F.when(page_dir == "", F.lit("/")).otherwise(page_dir)
+    rel_path = F.concat(page_dir, href)
+    # §5.2.4 dot-segment removal, bounded: '/./' collapses, then up to
+    # three '<seg>/../' hops fold (canonical hrefs in the wild nest a
+    # couple of levels at most; deeper chains pass through verbatim)
+    for _ in range(2):
+        rel_path = F.regexp_replace(rel_path, r"/\./", "/")
+    rel_path = F.regexp_replace(rel_path, r"/\.$", "/")
+    for _ in range(3):
+        rel_path = F.regexp_replace(rel_path, r"/(?!\.\./)[^/]+/\.\./", "/")
+    rel_path = F.regexp_replace(rel_path, r"/(?!\.\./)[^/]+/\.\.$", "/")
     resolved = (
         F.when(href == "", F.lit(None).cast("string"))
         .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
         .when(href.startswith("/"), F.concat(scheme, F.lit("://"), host, href))
+        .when(
+            href.startswith("?"),
+            F.concat(scheme, F.lit("://"), host, base_path, href),
+        )
+        .when(
+            href.startswith("#"),
+            F.concat(scheme, F.lit("://"), host, base_path, base_query, href),
+        )
         .when(href.rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*:"), href)
-        .otherwise(F.concat(scheme, F.lit("://"), host, page_dir, href))
+        .otherwise(F.concat(scheme, F.lit("://"), host, rel_path))
     )
     has = href != ""
     canon_host = F.regexp_extract(resolved, _CANON_HOST_RE, 1)

@@ -93,6 +93,12 @@ def _iter_stream_bodies(data: bytes):
             body = data[start:end]
         pos = end
         fm = _FILTER_RE.search(d)
+        if fm is None and b"/Filter" in d:
+            # /Filter present but not a parseable name/array (e.g. an
+            # indirect '/Filter 5 0 R'): the body is encoded in a way we
+            # cannot identify — skip it rather than feed encoded bytes
+            # to the text scanner
+            continue
         if fm:
             names = re.findall(rb"/[A-Za-z0-9]+", fm.group(1))
             if names == [b"/FlateDecode"]:

@@ -86,6 +86,21 @@ def _href(url: str) -> str:
     return url.replace("&", "&amp;")
 
 
+def _neardup_base(i: int) -> int:
+    """Page i's content-generator seed: i-1 for near-dup rows, else i."""
+    return i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i
+
+
+def page_lang(i: int) -> str:
+    """ONE definition of a page's language, shared by the html generator
+    and the pages-table `lang` column: near-dups inherit the BASE page's
+    language/vocab — deriving it from i would make the "one word differs
+    from page i-1" invariant false whenever the moduli collide (first at
+    i=5152, where i is a zh row but i-1 was generated from the en
+    vocab), and would mislabel the text the row actually carries."""
+    return "zh" if _neardup_base(i) % _ZH_MOD == 11 else "en"
+
+
 def page_links(i: int, n_pages: int, n_hosts: int) -> list[tuple[str, str]]:
     """[(kind, href)] for page i — kind ∈ {'a','iframe'}; href as written in
     the html (may be relative, escaped, fragment-carrying, or dead)."""
@@ -119,12 +134,8 @@ def page_html(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> bytes:
     """n_words sizes each body paragraph — default 30 keeps the parity
     fixtures byte-stable; the bench passes hundreds to make page size (and
     therefore parse cost) realistic for Common-Crawl-style html."""
-    base = i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i
-    # near-dups inherit the BASE page's language/vocab: deriving vocab
-    # from i would make the "one word differs from page i-1" invariant
-    # false whenever the moduli collide (first at i=5152, where i is a
-    # zh row but i-1 was generated from the en vocab)
-    lang = "zh" if base % _ZH_MOD == 11 else "en"
+    base = _neardup_base(i)
+    lang = page_lang(i)
     vocab = _ZH_VOCAB if lang == "zh" else _EN_VOCAB
     title = " ".join(_words(base, 7, 5, vocab))
     p1 = " ".join(_words(base, 8, n_words, vocab))
@@ -155,11 +166,7 @@ def page_row(i: int, n_pages: int, n_hosts: int, n_words: int = 30) -> dict:
         "warc_ts": pd.Timestamp("2024-01-01", tz="UTC") + pd.Timedelta(seconds=i),
         "html": html,
         "text": py_extract_text(html),  # invariant by construction
-        # same base-inheritance rule as page_html so the label always
-        # matches the vocabulary the text was actually generated from
-        "lang": "zh"
-        if (i - 1 if i % _NEARDUP_MOD == 1 and i > 0 else i) % _ZH_MOD == 11
-        else "en",
+        "lang": page_lang(i),
     }
 
 

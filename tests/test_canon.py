@@ -28,10 +28,13 @@ URLS = [
     "ftp://x/y",
     "",
     "http://h.example/p/2#frag",
-    # newline-bearing URLs: Java's '.' excludes \n, so Pattern.matches
-    # FAILS and the fragment survives — the Column twin must agree
+    # line-terminator-bearing URLs: Java's '.' excludes all five line
+    # terminators (LF CR NEL LS PS), so Pattern.matches FAILS and the
+    # fragment survives - both twins must agree
     "http://a.example/p\n/x#frag",
     "http://a.example/p/x#fr\nag",
+    "http://a.example/p\r/x#frag",
+    "http://a.example/p\u2028x#frag",
 ]
 
 

@@ -183,6 +183,17 @@ def test_rel_canonical_arms(spark):
         # bare-relative: resolves against the page path's directory
         (7, "http://a.example/p/7",
          '<html><head><link rel="canonical" href="canon/7"></head></html>'),
+        # query-only: keeps the FULL base path (RFC 3986 §5.3)
+        (8, "http://a.example/p/8?page=2",
+         '<html><head><link rel="canonical" href="?page=1"></head></html>'),
+        # fragment-only: keeps base path AND query
+        (9, "http://a.example/p/9?v=1",
+         '<html><head><link rel="canonical" href="#top"></head></html>'),
+        # dot-segments fold away (§5.2.4)
+        (10, "http://a.example/p/sub/10",
+         '<html><head><link rel="canonical" href="../canon/10"></head></html>'),
+        (11, "http://a.example/p/11",
+         '<html><head><link rel="canonical" href="./canon/11"></head></html>'),
     ]
     df = spark.createDataFrame(rows, "doc_id long, url string, html string")
     got = {r["doc_id"]: (r["has_canonical"], r["canonical"], r["is_self"],
@@ -195,6 +206,10 @@ def test_rel_canonical_arms(spark):
     assert got[5] == (1, "https://a.example/p/5", 0, 0)
     assert got[6] == (1, "http://cdn.example/p/6", 0, 1)
     assert got[7] == (1, "http://a.example/p/canon/7", 0, 0)
+    assert got[8] == (1, "http://a.example/p/8?page=1", 0, 0)
+    assert got[9] == (1, "http://a.example/p/9?v=1#top", 0, 0)
+    assert got[10] == (1, "http://a.example/p/canon/10", 0, 0)
+    assert got[11] == (1, "http://a.example/p/canon/11", 0, 0)
 
 
 def test_rel_canonical_pack_roundtrip(spark):
@@ -235,3 +250,19 @@ def test_hreflang_extract_and_pack(spark):
     a = {tuple(sorted((r["hreflang"], r["href"]) for r in by_doc[d]))
          for d in (3, 4, 5)}
     assert len(a) == 1
+
+
+def test_synth_graph_actually_contains_iframe_edges():
+    """The P4 iframe arm must be exercised by the synthetic crawl graph
+    itself, not only by unit fixtures.  Regression: the old generator arm
+    required k ≡ 14 (mod 45) with k <= 11 — impossible — so every corpus
+    silently carried ZERO iframe edges while the docs claimed coverage."""
+    from bingcrawler_spark.synth import page_links
+
+    kinds = {
+        kind
+        for i in range(300)
+        for kind, _ in page_links(i, 300, 8)
+    }
+    assert "iframe" in kinds
+    assert "a" in kinds

@@ -8,9 +8,10 @@ operators:
 * ``parse_robots`` — robots.txt text → ordered rule rows
   (host, group user-agent, allow/disallow, path prefix, crawl-delay).
   Pure column expressions: split to lines, lateral position explode, a
-  cumulative-count window assigns each line to its ``User-agent`` group.
-  One UA line per group (the common layout; multi-UA groups would need a
-  second window pass and are out of scope — documented, not silent).
+  cumulative-count-of-group-starts window assigns each line to its
+  ``User-agent`` group; CONSECUTIVE User-agent lines form one group per
+  RFC 9309 §2.1, and a rule row is emitted per (rule, agent) pair so a
+  shared group binds its rules to every listed agent.
 * ``robots_gate`` — URLs × rules → allowed flag per URL under
   longest-prefix-match-wins, allow-beats-disallow-on-ties (the published
   Googlebot tie-break), no-matching-rule ⇒ allowed.
@@ -39,11 +40,13 @@ def parse_robots(
 ) -> DataFrame:
     """robots.txt text → (host, rule_id, agent, directive, path, crawl_delay).
 
-    Lines are position-exploded; a running count of ``User-agent`` lines
-    (window over host, ordered by line position) is the group id; each
-    Allow/Disallow/Crawl-delay line joins the group's agent via a
-    group-max window.  Empty-path Disallow (``Disallow:``) means
-    allow-all per RFC 9309 and is dropped at the source.
+    Lines are position-exploded; a running count of group STARTS (a
+    ``User-agent`` line whose predecessor is not one — RFC 9309 §2.1:
+    consecutive User-agent lines form ONE group) is the group id; each
+    Allow/Disallow/Crawl-delay line joins EVERY agent of its group, so a
+    rule under ``User-agent: a`` + ``User-agent: *`` emits one row per
+    agent.  Empty-path Disallow (``Disallow:``) means allow-all per
+    RFC 9309 and is dropped at the source.
     """
     lines = robots.select(
         F.col(host_col).alias("host"),
@@ -61,22 +64,18 @@ def parse_robots(
         F.regexp_extract("line", _DIRECTIVE_RE, 2).alias("value"),
     ).where(F.col("directive") != "")
     w = W.partitionBy("host").orderBy("pos")
-    grouped = parsed.withColumn(
-        "grp",
-        F.sum(F.when(F.col("directive") == "user-agent", 1).otherwise(0)).over(w),
+    is_ua = F.col("directive") == "user-agent"
+    blk_start = is_ua & ~F.lag(is_ua, 1, False).over(w)
+    grouped = parsed.withColumn("grp", F.sum(blk_start.cast("int")).over(w))
+    agent_rows = (
+        grouped.where(is_ua)
+        .select("host", "grp", F.lower(F.col("value")).alias("agent"))
+        .where(F.col("agent") != "")
+        .distinct()
     )
-    wg = W.partitionBy("host", "grp")
-    agents = grouped.withColumn(
-        "agent",
-        F.max(
-            F.when(F.col("directive") == "user-agent", F.lower(F.col("value")))
-        ).over(wg),
-    )
-    rules = agents.where(
+    rules = grouped.where(
         F.col("directive").isin("allow", "disallow", "crawl-delay")
-        & (F.col("agent") != "")
-        & F.col("agent").isNotNull()
-    )
+    ).join(agent_rows, ["host", "grp"])
     return rules.select(
         "host",
         F.col("pos").cast("int").alias("rule_id"),
@@ -168,25 +167,32 @@ def parse_robots_sql(
            FROM lines
            WHERE regexp_extract(line, '{_DIRECTIVE_RE}', 1) != ''
          ),
-         grouped AS (
-           SELECT *, sum(CASE WHEN directive = 'user-agent' THEN 1 ELSE 0 END)
-                       OVER (PARTITION BY host ORDER BY pos) AS grp
+         flagged AS (
+           SELECT *, CASE WHEN directive = 'user-agent'
+                          AND NOT coalesce(
+                            lag(directive = 'user-agent')
+                              OVER (PARTITION BY host ORDER BY pos),
+                            FALSE)
+                          THEN 1 ELSE 0 END AS blk_start
            FROM parsed
          ),
-         agents AS (
-           SELECT *, max(CASE WHEN directive = 'user-agent'
-                              THEN lower(value) END)
-                       OVER (PARTITION BY host, grp) AS agent
+         grouped AS (
+           SELECT *, sum(blk_start)
+                       OVER (PARTITION BY host ORDER BY pos) AS grp
+           FROM flagged
+         ),
+         agent_rows AS (
+           SELECT DISTINCT host, grp, lower(value) AS agent
            FROM grouped
+           WHERE directive = 'user-agent' AND lower(value) != ''
          )
     SELECT * FROM (
-      SELECT host, pos::INT AS rule_id, agent, directive,
-             CASE WHEN directive != 'crawl-delay' THEN value END AS path,
-             CASE WHEN directive = 'crawl-delay'
-                  THEN TRY_CAST(value AS INT) END AS crawl_delay
-      FROM agents
-      WHERE directive IN ('allow', 'disallow', 'crawl-delay')
-        AND agent IS NOT NULL AND agent != ''
+      SELECT g.host, g.pos::INT AS rule_id, a.agent, g.directive,
+             CASE WHEN g.directive != 'crawl-delay' THEN g.value END AS path,
+             CASE WHEN g.directive = 'crawl-delay'
+                  THEN TRY_CAST(g.value AS INT) END AS crawl_delay
+      FROM grouped g JOIN agent_rows a USING (host, grp)
+      WHERE g.directive IN ('allow', 'disallow', 'crawl-delay')
     ) WHERE path != '' OR crawl_delay IS NOT NULL
     """
 

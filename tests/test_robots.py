@@ -125,3 +125,47 @@ def test_rules_table_multi_agent_group_binds_to_all(spark):
     out = parse_robots(df).collect()[0]
     assert list(out["disallow_prefixes"]) == ["/private"]
     assert out["crawl_delay"] is None  # delay sits in the 'other' group
+
+
+def test_full_gate_multi_agent_group(spark):
+    """RFC 9309 §2.1 on the registered s8 parser/gate: consecutive
+    User-agent lines share their rules, so '*' inherits the group's
+    Disallow and the gate blocks the URL; the DuckDB twin folds the
+    same rows."""
+    import duckdb
+
+    txt = (
+        "User-agent: badbot\n"
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "\n"
+        "User-agent: other\n"
+        "Disallow: /other-only\n"
+    )
+    rules = RB.parse_robots(
+        spark.createDataFrame([("g.com", txt)], "host string, robots_txt string")
+    )
+    rows = {(r.agent, r.directive, r.path) for r in rules.collect()}
+    assert ("badbot", "disallow", "/private") in rows
+    assert ("*", "disallow", "/private") in rows
+    assert ("other", "disallow", "/other-only") in rows
+    assert ("*", "disallow", "/other-only") not in rows
+    urls = spark.createDataFrame(
+        [("http://g.com/private/x",), ("http://g.com/other-only/x",)],
+        "url string",
+    )
+    got = {r.url: r.allowed for r in RB.robots_gate(urls, rules).collect()}
+    assert got["http://g.com/private/x"] == 0       # '*' group inherits it
+    assert got["http://g.com/other-only/x"] == 1    # other group only
+    # twin parity over the same text
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE robots AS SELECT 'g.com' AS host, ? AS robots_txt", [txt]
+    )
+    ref = sorted(
+        tuple(r)
+        for r in con.execute(
+            RB.parse_robots_sql("SELECT host, robots_txt FROM robots")
+        ).fetchall()
+    )
+    assert ref == sorted(tuple(r) for r in rules.collect())

@@ -136,13 +136,14 @@ def minhash_lsh_pairs_sql(
 ) -> str:
     rows = k // bands
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc,
-             {X.shingles_sql(text_col)} AS sh,
-             {X.minhash_sig_sql(X.shingles_sql(text_col), k)} AS sig
-      FROM ({docs_sql})
+    WITH hv AS MATERIALIZED (
+      SELECT doc, sh, {X.hashed_shingles_sql('sh')} AS hv
+      FROM (SELECT {id_col} AS doc, {X.shingles_sql(text_col)} AS sh
+            FROM ({docs_sql}))
+    ), base AS MATERIALIZED (
+      SELECT doc, sh, {X.minhash_sig_from_hashes_sql('hv', k)} AS sig FROM hv
     ), bandsx AS (
-      SELECT doc, sh, bi.band_idx,
+      SELECT doc, bi.band_idx,
              sig[bi.band_idx * {rows} + 1 : bi.band_idx * {rows} + {rows}] AS band_val
       FROM base, (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx) bi
     ), cand AS (
@@ -291,12 +292,16 @@ def ngram_jaccard_banded_pairs_sql(
     id_col: str = "doc_id",
 ) -> str:
     rows = k // bands
+    # minhash_params(k)[:rows] == minhash_params(rows) (params depend only
+    # on the function index), so the first band of a k-signature IS the
+    # rows-length signature — compute just those `rows` mins, over h32
+    # values hashed once per shingle.
     return f"""
-    WITH base AS (
-      SELECT {id_col} AS doc,
-             {X.shingles_sql(text_col, n)} AS sh,
-             ({X.minhash_sig_sql(X.shingles_sql(text_col, n), k)})[1:{rows}] AS block
-      FROM ({docs_sql})
+    WITH base AS MATERIALIZED (
+      SELECT doc, sh, {X.minhash_sig_from_hashes_sql('hv', rows)} AS block
+      FROM (SELECT doc, sh, {X.hashed_shingles_sql('sh')} AS hv
+            FROM (SELECT {id_col} AS doc, {X.shingles_sql(text_col, n)} AS sh
+                  FROM ({docs_sql})))
     )
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            len(list_intersect(a.sh, b.sh))::BIGINT AS n_common,
@@ -756,12 +761,10 @@ def containment_pairs_sql(
 ) -> str:
     return f"""
     WITH base AS MATERIALIZED (
-      SELECT {id_col} AS doc,
-             {X.shingles_sql(text_col)} AS sh,
-             list_sort(list_transform({X.shingles_sql(text_col)},
-                                      x -> {X.h32_sql('x')}))[1:{sketch_k}]
-               AS bk
-      FROM ({docs_sql})
+      SELECT doc, sh,
+             list_sort({X.hashed_shingles_sql('sh')})[1:{sketch_k}] AS bk
+      FROM (SELECT {id_col} AS doc, {X.shingles_sql(text_col)} AS sh
+            FROM ({docs_sql}))
     ), blocks AS MATERIALIZED (
       SELECT doc, unnest(bk) AS bh FROM base
     ), keep_keys AS (
@@ -1050,14 +1053,18 @@ def incremental_dedup_sql(
     id_col: str = "doc_id",
 ) -> str:
     rows = k // bands
-    sig = X.minhash_sig_sql(X.shingles_sql(text_col), k)
+    sig = X.minhash_sig_from_hashes_sql("hv", k)
+    inner = (
+        f"SELECT {id_col} AS doc, md5({text_col}) AS ck, "
+        f"{X.hashed_shingles_sql(X.shingles_sql(text_col))} AS hv"
+    )
     return f"""
     WITH csig AS MATERIALIZED (
-      SELECT {id_col} AS doc, md5({text_col}) AS ck, {sig} AS sig
-      FROM ({corpus_sql})),
+      SELECT doc, ck, {sig} AS sig
+      FROM ({inner} FROM ({corpus_sql}))),
     bsig AS MATERIALIZED (
-      SELECT {id_col} AS doc, md5({text_col}) AS ck, {sig} AS sig
-      FROM ({batch_sql})),
+      SELECT doc, ck, {sig} AS sig
+      FROM ({inner} FROM ({batch_sql}))),
     bi AS (SELECT unnest(generate_series(0, {bands - 1})) AS band_idx),
     cb AS (
       SELECT DISTINCT bi.band_idx,

@@ -168,6 +168,10 @@ def minhash_sig_col(shingles: Column, k: int = 16) -> Column:
 
 
 def minhash_sig_sql(shingles_expr: str, k: int = 16) -> str:
+    """Signature straight from a shingle-list expression.  Each of the k
+    mins inlines the md5-derived h32, so md5 runs k times per shingle —
+    fine for unit parity checks over small inputs; oracles over whole
+    tables should pre-hash once and use minhash_sig_from_hashes_sql."""
     mins = []
     for a, b in minhash_params(k):
         mins.append(
@@ -176,6 +180,29 @@ def minhash_sig_sql(shingles_expr: str, k: int = 16) -> str:
             f"ELSE {MERSENNE_P} END"
         )
     return ("[" + ", ".join(mins) + "]").replace("__s", f"({shingles_expr})")
+
+
+def hashed_shingles_sql(shingles_expr: str) -> str:
+    """``list_transform(sh, x -> h32(x))`` — the pre-hash step oracles
+    materialize ONCE per row so the k affine maps below never re-md5."""
+    return f"list_transform(({shingles_expr}), x -> {h32_sql('x')})"
+
+
+def minhash_sig_from_hashes_sql(hashes_expr: str, k: int = 16) -> str:
+    """DuckDB twin of minhash_sig_from_hashes: signature from PRE-HASHED
+    shingles (a list<bigint> of h32 values, see hashed_shingles_sql).
+    Identical output to minhash_sig_sql — same (a, b) params over the same
+    h32 ints — but md5 is evaluated once per shingle instead of once per
+    (shingle, hash-function) pair, which cut the dd_minhash_lsh oracle
+    from 37 s to single digits at sf0.01."""
+    mins = []
+    for a, b in minhash_params(k):
+        mins.append(
+            f"CASE WHEN len(__h) > 0 THEN list_aggregate(list_transform(__h, "
+            f"x -> ({a}::BIGINT * x + {b}) % {MERSENNE_P}), 'min') "
+            f"ELSE {MERSENNE_P} END"
+        )
+    return ("[" + ", ".join(mins) + "]").replace("__h", f"({hashes_expr})")
 
 
 # ---------------------------------------------------------- md5-vote simhash

@@ -63,6 +63,38 @@ def test_minhash_and_fingerprint_match(spark, sf_dir, docs):
     assert got == want
 
 
+def test_minhash_from_hashes_sql_twin(spark, sf_dir, docs):
+    """The pre-hashed oracle form (hash shingles once, then k affine
+    mins) must equal BOTH the inline DuckDB form and Spark's
+    minhash_sig_from_hashes — the equivalence the dedup oracles rely on
+    after the hash-once restructure."""
+    prehashed = _duck(
+        sf_dir,
+        "SELECT doc_id, "
+        f"{X.minhash_sig_from_hashes_sql(X.hashed_shingles_sql(X.shingles_sql('text')), 8)} "
+        "FROM documents WHERE doc_id < 80",
+    )
+    inline = _duck(
+        sf_dir,
+        f"SELECT doc_id, {X.minhash_sig_sql(X.shingles_sql('text'), 8)} "
+        "FROM documents WHERE doc_id < 80",
+    )
+    assert dict(prehashed) == dict(inline)
+    spark_side = {
+        r.doc_id: list(r.sig)
+        for r in docs.select(
+            "doc_id",
+            X.minhash_sig_from_hashes(
+                F.transform(X.shingles_col(F.col("text")), X.h32_col), 8
+            ).alias("sig"),
+        ).collect()
+    }
+    assert spark_side == {i: list(s) for i, s in prehashed}
+    # prefix property the ngram blocking key depends on: the first band of
+    # a k-signature IS the rows-length signature
+    assert X.minhash_params(16)[:4] == X.minhash_params(4)
+
+
 def test_simhash60_match_and_neardup_property(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(12)
     got = {

@@ -498,25 +498,37 @@ def write_bench_md(result: dict) -> None:
                 norms = [r["normalized"] for r in rows if r.get("normalized")]
                 sub_med = _median(reps)
                 sub_med_norm = _median(norms)
-                brows = [
-                    r for r in allrows
-                    if r.get("workload", {}).get("wave_size") == 262144
-                ]
-                if brows:
-                    big = {
-                        "n": len(brows),
-                        "raw": _median([r["efficiency"] for r in brows]),
+                # criterion protocol rows only (250-word pages, the
+                # original 2→8-core axis): the 1000-word reps are the
+                # page-size ROBUSTNESS check and the 8→32-core reps are
+                # their own axis (reported below) — pooling either would
+                # silently change the criterion estimator between runs
+                def _axis(rows_, cn, c4):
+                    sel = [
+                        r for r in rows_
+                        if r.get("workload", {}).get("wave_size") == 262144
+                        and r.get("workload", {}).get("synth_words", 250) == 250
+                        and r.get("cores_n") == cn and r.get("cores_4n") == c4
+                    ]
+                    if not sel:
+                        return {}
+                    return {
+                        "n": len(sel),
+                        "raw": _median([r["efficiency"] for r in sel]),
                         "norm": _median(
-                            [r["normalized"] for r in brows if r.get("normalized")]
+                            [r["normalized"] for r in sel if r.get("normalized")]
                         ),
                         # window-robust estimator: median leg throughputs
                         "thr": round(
-                            _median([r["urls_per_sec_4n"] for r in brows])
-                            / _median([r["urls_per_sec_n"] for r in brows])
+                            _median([r["urls_per_sec_4n"] for r in sel])
+                            / _median([r["urls_per_sec_n"] for r in sel])
                             / 4,
                             3,
                         ),
                     }
+
+                big = _axis(allrows, 2, 8)
+                big832 = _axis(allrows, 8, 32)
             except (OSError, ValueError, KeyError):
                 pass
             lines.append(
@@ -537,14 +549,33 @@ def write_bench_md(result: dict) -> None:
                 + ", per-rep table and the wave-131 072 probe in that file)."
                 + (
                     " At cluster-representative wave sizes the full loop "
-                    f"clears the bar: wave 262 144 ({big['n']} controlled "
-                    f"reps) — per-rep raw median {big['raw']}, "
-                    f"median-throughput efficiency {big['thr']} (raw-green), "
-                    f"normalized-to-ceiling median {big['norm']} "
-                    "(normalized-green; every estimator ≥ 0.8 except the "
-                    "per-rep raw median, capped by the host's own 0.60-0.98 "
-                    "ceiling swings — see that file's criterion summary)."
+                    f"clears the bar normalized: wave 262 144 ({big['n']} "
+                    "controlled reps, protocol 250-word pages) — per-rep "
+                    f"raw median {big['raw']}"
+                    + (" (raw-green)" if big["raw"] >= 0.8 else "")
+                    + f", median-throughput efficiency {big['thr']}"
+                    + (" (raw-green)" if big["thr"] >= 0.8 else "")
+                    + f", normalized-to-ceiling median {big['norm']}"
+                    + (" (normalized-green)" if big["norm"] >= 0.8 else "")
+                    + (
+                        "; raw estimators are capped by the host's own "
+                        "0.61-1.13 control-scaling swings"
+                        if big["raw"] < 0.8
+                        else ""
+                    )
+                    + " — see that file's criterion summary."
                     if big
+                    else ""
+                )
+                + (
+                    " An 8→32-core probe (the task's other two-parallelism "
+                    f"example) reads raw {big832['raw']} with the framework-"
+                    "free control itself at ≈0.6 on that axis — this VM's "
+                    "32 vCPUs are host-oversubscribed (per-core control "
+                    "throughput drops 40% from 8→32 cores), so that axis "
+                    "measures the host ceiling, not the engine; the 2→8 "
+                    "axis above is the valid one here."
+                    if big832
                     else ""
                 )
             )

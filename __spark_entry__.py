@@ -34,31 +34,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return DQ.crawl_3waves(spark, "/root/testdata/sf0.001")
 
 
-# Run-order policy: queries with no CORRECTNESS_r02 row go FIRST so a
-# driver-side time cap can never starve them again (VERDICT r2 task 6);
+# Run-order policy (VERDICT r3 task 1): the driver checks only the first
+# ~50 catalog entries per round, so the order ROTATES itself from the
+# CORRECTNESS_r*.json files committed in the repo root — queries verified
+# in the FEWEST prior rounds go first (never-checked ones lead), so every
+# round's window covers the least-verified remainder and the union
+# converges to the full catalog without a hand-maintained list.
 # crawl_3waves (rows-only, the wall-clock long pole, and already smoke-run
 # via entry()) goes LAST.
-_CHECK_FIRST = [
-    "mm_decode_roundtrip",
-    "p15_scrub_filename",
-    "s7_pdf_text",
-    "s6_download_first_hit",
-    "p3_unescape_entities",
-    "p6_charset_sniff",
-    "ev_sessionize",
-    "ev_tumbling",
-    "ev_running_total",
-    "agg_pricing_summary",
-    "join_supply_chain",
-    "window_top_orders_per_cust",
-]
+
+
+def _rounds_checked() -> dict[str, int]:
+    """query name -> number of prior driver rounds with a green row."""
+    import glob
+    import json
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    counts: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            ok = isinstance(row, dict) and row.get("rows_match") and not row.get("err")
+            counts[name] = counts.get(name, 0) + (1 if ok else 0)
+    return counts
 
 
 def _ordered(d: dict) -> dict:
-    head = [k for k in _CHECK_FIRST if k in d]
-    mid = [k for k in d if k not in _CHECK_FIRST and k != "crawl_3waves"]
+    seen_rounds = _rounds_checked()
+    body = sorted(
+        (k for k in d if k != "crawl_3waves"),
+        key=lambda k: (seen_rounds.get(k, 0), k),
+    )
     tail = [k for k in ("crawl_3waves",) if k in d]
-    return {k: d[k] for k in head + mid + tail}
+    return {k: d[k] for k in body + tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -71,6 +71,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "dd_dup_clusters",
     "gr_host_pagerank",
+    "gr_host_hits",
     "src_warc_roundtrip",
     "ix_bm25_search",
     "sk_hll_users",
@@ -95,9 +96,15 @@ HEADLINE = [
 ]
 
 
-def load_prev_bench() -> tuple[str, dict] | None:
+def load_prev_bench() -> tuple[str, dict, str] | None:
     """Newest BENCH_r*.json in the repo root (the driver writes one per
-    round) — feeds the vs_prev regression block."""
+    round) — feeds the vs_prev regression block.  Returns (file, data,
+    source) where source records which fallback produced the data:
+    "parsed" (the driver's own parse), "tail" (the raw bench JSON line
+    recovered from the captured stdout tail — the driver's r2 file had
+    `parsed: null` from a tail-capture truncation, which silently killed
+    the whole r3 regression diff), or "last_run_full" (this repo's own
+    git-tracked copy of the last full bench payload)."""
     import glob
     import re
 
@@ -107,15 +114,35 @@ def load_prev_bench() -> tuple[str, dict] | None:
     )
     if not cands:
         return None
+    fname = cands[-1]
     try:
-        with open(cands[-1]) as f:
+        with open(fname) as f:
             data = json.load(f)
-        # the driver wraps the bench line under "parsed"
-        if "queries" not in data and isinstance(data.get("parsed"), dict):
-            data = data["parsed"]
-        return cands[-1], data
     except Exception:
-        return None
+        data = {}
+    if isinstance(data.get("parsed"), dict) and data["parsed"].get("queries"):
+        return fname, data["parsed"], "parsed"
+    if data.get("queries"):
+        return fname, data, "parsed"
+    # fallback 1: recover the bench JSON line from the raw stdout tail
+    for ln in reversed((data.get("tail") or "").splitlines()):
+        i = ln.find('{"metric"')
+        if i >= 0:
+            try:
+                recovered = json.loads(ln[i:])
+                if recovered.get("queries"):
+                    return fname, recovered, "tail"
+            except ValueError:
+                pass
+    # fallback 2: the git-tracked full payload of the previous bench run
+    try:
+        with open(os.path.join("BENCH", "last_run_full.json")) as f:
+            recovered = json.load(f)
+        if recovered.get("queries"):
+            return fname, recovered, "last_run_full"
+    except Exception:
+        pass
+    return None
 
 
 HISTORY_PATH = os.path.join("BENCH", "history.jsonl")
@@ -166,8 +193,12 @@ def diff_vs_prev(result: dict) -> dict | None:
     prev = load_prev_bench()
     if prev is None:
         return None
-    name, p = prev
+    name, p, source = prev
     out = {"prev_file": name, "queries": {}}
+    if source != "parsed":
+        # loud marker: the prev file's own parse was unusable and a
+        # fallback source fed this diff — never silently report nothing
+        out["vs_prev_degraded"] = f"prev parsed null; recovered via {source}"
     for q, sec in result["queries"].items():
         old = (p.get("queries") or {}).get(q)
         if old is None:
@@ -486,7 +517,7 @@ def write_bench_md(result: dict) -> None:
             # 1 000-word pages) recorded in submit_scaling.jsonl — the
             # first two wave-65 536 rows predate that protocol
             sub_med, sub_med_norm, reps, norms = None, None, [], []
-            big = {}
+            big, big832 = {}, {}
             try:
                 with open(os.path.join("BENCH", "submit_scaling.jsonl")) as f:
                     allrows = [r for r in map(json.loads, f) if r["ts"] >= 1787095000]
@@ -552,15 +583,15 @@ def write_bench_md(result: dict) -> None:
                     f"clears the bar normalized: wave 262 144 ({big['n']} "
                     "controlled reps, protocol 250-word pages) — per-rep "
                     f"raw median {big['raw']}"
-                    + (" (raw-green)" if big["raw"] >= 0.8 else "")
+                    + (" (raw-green)" if (big["raw"] or 0) >= 0.8 else "")
                     + f", median-throughput efficiency {big['thr']}"
-                    + (" (raw-green)" if big["thr"] >= 0.8 else "")
+                    + (" (raw-green)" if (big["thr"] or 0) >= 0.8 else "")
                     + f", normalized-to-ceiling median {big['norm']}"
-                    + (" (normalized-green)" if big["norm"] >= 0.8 else "")
+                    + (" (normalized-green)" if (big["norm"] or 0) >= 0.8 else "")
                     + (
                         "; raw estimators are capped by the host's own "
                         "0.61-1.13 control-scaling swings"
-                        if big["raw"] < 0.8
+                        if (big["raw"] or 0) < 0.8
                         else ""
                     )
                     + " — see that file's criterion summary."

@@ -244,20 +244,14 @@ def journal_rollup(profiles: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------ R12
 
 
-def banded_nn_report(
-    fps: DataFrame, nearest: int = 5, n_bands: int = 4, bits: int = 60
+def banded_candidates(
+    fps: DataFrame, n_bands: int = 4, bits: int = 60
 ) -> DataFrame:
-    """R12 at scale (the registered form): nearest-`nearest` titles per
-    title by hamming distance, with the candidate set generated by
-    pigeonhole LSH banding (any pair within hamming < n_bands shares at
-    least one exact 15-bit band) instead of the reference's all-pairs loop
-    (BingDataAnalysisUtils.java:24-39).  The shuffle is an equi-join on
-    (band_idx, band_val) — O(docs x bands) rows, never O(docs²); the
-    window ranks only each title's banded candidates.  Candidates are kept
-    directional (a→b and b→a) because nearest-N is per title.
-
-    allpairs_simhash_report below keeps the exact-parity all-pairs form
-    for oracle-scale verification of this approximation."""
+    """Candidate stage of banded_nn_report, exposed for stage-level timing
+    attribution (SPARK_GRAFT_R12_TIMING): directional (t_a, t_b, distance)
+    pairs sharing at least one exact band — duplicates (multi-band pairs)
+    NOT yet removed; the fused window tail in banded_nn_report handles
+    them."""
     width = bits // n_bands
     banded = fps.select(
         F.col("title").alias("t"),
@@ -274,26 +268,54 @@ def banded_nn_report(
         ).alias("band_idx", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.t") != F.col("b.t")),
-        )
-        .select(
-            F.col("a.t").alias("t_a"),
-            F.col("b.t").alias("t_b"),
-            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
-            .cast("int")
-            .alias("distance"),
-        )
-        .dropDuplicates(["t_a", "t_b"])
+    return a.join(
+        b,
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_val") == F.col("b.band_val"))
+        & (F.col("a.t") != F.col("b.t")),
+    ).select(
+        F.col("a.t").alias("t_a"),
+        F.col("b.t").alias("t_b"),
+        F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).cast("int").alias("distance"),
     )
+
+
+def banded_nn_report(
+    fps: DataFrame, nearest: int = 5, n_bands: int = 4, bits: int = 60
+) -> DataFrame:
+    """R12 at scale (the registered form): nearest-`nearest` titles per
+    title by hamming distance, with the candidate set generated by
+    pigeonhole LSH banding (any pair within hamming < n_bands shares at
+    least one exact 15-bit band) instead of the reference's all-pairs loop
+    (BingDataAnalysisUtils.java:24-39).  The shuffle is an equi-join on
+    (band_idx, band_val) — O(docs x bands) rows, never O(docs²); the
+    window ranks only each title's banded candidates.  Candidates are kept
+    directional (a→b and b→a) because nearest-N is per title.
+
+    allpairs_simhash_report below keeps the exact-parity all-pairs form
+    for oracle-scale verification of this approximation.
+
+    Single-shuffle tail (r4): template-correlated corpora make band
+    buckets degenerate (sf0.1 synth docs: 5.9M candidate pairs from 5k
+    docs — ~24% of all-pairs), so the old dropDuplicates + window tail
+    paid TWO 5.9M-row shuffles.  A duplicate pair (same t_a, t_b — the
+    pair shared several bands) always carries the SAME distance, so in
+    the window's own (distance, t_b) sort order duplicates are adjacent:
+    one lag() flags them and a running sum of the flag IS the distinct
+    rank.  Dedup + rank fuse into the one window exchange (measured
+    7.6 s → 3.3 s at sf0.1, bit-identical output)."""
+    cand = banded_candidates(fps, n_bands=n_bands, bits=bits)
     w = W.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
+    is_first = F.coalesce(F.lag("t_b", 1).over(w) != F.col("t_b"), F.lit(True))
     return (
-        cand.withColumn("nn_rank", F.row_number().over(w).cast("int"))
-        .where(F.col("nn_rank") <= nearest)
+        cand.withColumn("_first", is_first)
+        .withColumn(
+            "nn_rank",
+            F.sum(F.col("_first").cast("int"))
+            .over(w.rowsBetween(W.unboundedPreceding, 0))
+            .cast("int"),
+        )
+        .where(F.col("_first") & (F.col("nn_rank") <= nearest))
         .select("t_a", "t_b", "distance", "nn_rank")
     )
 

@@ -1713,8 +1713,21 @@ def r12_banded_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates come from a pigeonhole LSH equi-join, never a cartesian
     product — the oracle replicates the banding so the approximation itself
     is what's verified.  analytics.allpairs_simhash_report keeps the exact
-    all-pairs parity form (tests only)."""
+    all-pairs parity form (tests only).
+
+    SPARK_GRAFT_R12_TIMING=1 prints a per-stage wall split (fingerprint
+    materialize / band-join candidates / fused dedup+rank window) — the
+    attribution knob the r3 regression lacked.  Measured at sf0.1 quiet:
+    fingerprint ~1 s cached-session, candidates 0.9 s (5.9M pairs — the
+    synth corpus is template-correlated, so band buckets are degenerate),
+    window tail 3.3 s fused vs 7.6 s for the old dropDuplicates+window
+    two-shuffle tail."""
+    import os as _os
+    import time as _time
+
+    timing = _os.environ.get("SPARK_GRAFT_R12_TIMING") == "1"
     d = _t(spark, sf_dir, "documents")
+    t0 = _time.time()
     fps = (
         X.simhash60_df(d)
         .select(
@@ -1724,6 +1737,17 @@ def r12_banded_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     fps.count()  # materialize once; both band-join sides read the cache
+    if timing:
+        t1 = _time.time()
+        n_cand = A.banded_candidates(fps, n_bands=4).count()
+        t2 = _time.time()
+        A.banded_nn_report(fps, nearest=5, n_bands=4).count()
+        t3 = _time.time()
+        print(
+            f"[r12-timing] fingerprint={t1 - t0:.2f}s "
+            f"candidates={t2 - t1:.2f}s ({n_cand} pairs) "
+            f"window_tail={t3 - t2 - (t2 - t1):.2f}s full={t3 - t2:.2f}s"
+        )
     return A.banded_nn_report(fps, nearest=5, n_bands=4)
 
 

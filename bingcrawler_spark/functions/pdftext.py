@@ -14,13 +14,17 @@ shape the synth writer emits — the extraction matches PDFTextStripper's
 text-per-line output: one emitted line per line move, lines joined by
 newline with a trailing newline.
 
-``/FlateDecode`` content streams are inflated with ``zlib`` before the
-scan — PDFBox reads compressed streams natively (PdfBox.java:15-48), and
-virtually every real paper PDF compresses its content, so capability
-parity requires reading them, not skipping them.  Streams carrying any
-OTHER filter (``/DCTDecode`` images etc.) are skipped, and files that
-fail to parse at all yield ``None``, matching the reference's
-catch-and-skip on unreadable files (ProfileSimHashTask.java:115-119).
+Encoded content streams are decoded before the scan — PDFBox reads them
+natively (PdfBox.java:15-48), and virtually every real paper PDF encodes
+its content, so capability parity requires reading them, not skipping
+them.  Supported: ``/FlateDecode`` (zlib), ``/LZWDecode`` (from-scratch
+ISO 32000-1 §7.4.4 early-change decoder), ``/ASCII85Decode`` and
+``/ASCIIHexDecode`` transport wrappers, and filter CHAINS applied in
+array order (``[/ASCII85Decode /FlateDecode]``).  Streams carrying any
+other filter (``/DCTDecode`` images etc.) or a ``/Predictor`` are
+skipped, and files that fail to parse at all yield ``None``, matching
+the reference's catch-and-skip on unreadable files
+(ProfileSimHashTask.java:115-119).
 
 ``synth_pdf_bytes`` is the deterministic inverse used by tests and the s7
 driver oracle: it writes a structurally complete PDF (header, catalog,
@@ -31,6 +35,7 @@ end-to-end on real file bytes.
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -47,6 +52,123 @@ _LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 # the /Filter value: a single name or an array of names
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
 _OCTAL = "01234567"
+
+
+# ----------------------------------------------------------- stream filters
+#
+# PDFBox decodes every standard filter natively (PdfBox.java:15-48 hands the
+# whole file to PDFTextStripper); capability parity for the text-bearing
+# subset needs the filters real content streams use: Flate, LZW (ISO
+# 32000-1 §7.4.4, TIFF-style early-change codes), and the ASCII transport
+# wrappers they get chained under ([/ASCII85Decode /FlateDecode]).
+
+
+def _lzw_decode(body: bytes) -> bytes:
+    """PDF LZWDecode: MSB-first variable-width codes 9→12 bits, Clear=256,
+    EOD=257, EarlyChange=1 (the default — the code width grows one entry
+    before the table strictly requires it, matching PDFBox's LZWFilter)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width, prev = 9, None
+    bitbuf = bitcnt = 0
+    for byte in body:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == 256:
+                del table[258:]
+                width, prev = 9, None
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """Encoder twin of _lzw_decode (synth fixtures only): same
+    early-change rule, Clear emitted up front and on table overflow."""
+    res = bytearray()
+    bitbuf = bitcnt = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, bitcnt
+        bitbuf = (bitbuf << width) | code
+        bitcnt += width
+        while bitcnt >= 8:
+            res.append((bitbuf >> (bitcnt - 8)) & 0xFF)
+            bitcnt -= 8
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # decoder-aligned early change: the decoder (like PDFBox) widens
+        # when ITS table reaches (1<<width)-1 entries, and its table runs
+        # one entry behind the encoder's — so the encoder widens at 1<<width
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        w = bytes([ch])
+        if next_code >= 4094:  # table full: reset, mirroring the decoder
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if bitcnt:
+        res.append((bitbuf << (8 - bitcnt)) & 0xFF)
+    return bytes(res)
+
+
+def _a85_decode(body: bytes) -> bytes:
+    """ASCII85Decode: whitespace-tolerant, 'z' groups, trailing '~>'."""
+    body = re.sub(rb"\s+", b"", body)
+    if body.endswith(b"~>"):
+        body = body[:-2]
+    return base64.a85decode(body)
+
+
+def _ahx_decode(body: bytes) -> bytes:
+    """ASCIIHexDecode: hex digits until '>'; odd final digit padded 0."""
+    body = re.sub(rb"\s+", b"", body)
+    end = body.find(b">")
+    if end != -1:
+        body = body[:end]
+    if len(body) % 2:
+        body += b"0"
+    return bytes.fromhex(body.decode("ascii"))
+
+
+_FILTER_DECODERS = {
+    b"/FlateDecode": zlib.decompress,
+    b"/LZWDecode": _lzw_decode,
+    b"/ASCII85Decode": _a85_decode,
+    b"/ASCIIHexDecode": _ahx_decode,
+}
 
 
 def _iter_stream_bodies(data: bytes):
@@ -101,14 +223,24 @@ def _iter_stream_bodies(data: bytes):
             continue
         if fm:
             names = re.findall(rb"/[A-Za-z0-9]+", fm.group(1))
-            if names == [b"/FlateDecode"]:
-                body = zlib.decompress(body)
-            else:
-                # any other filter — or a CHAIN that merely contains
-                # FlateDecode ([/ASCII85Decode /FlateDecode]) — is
-                # skipped whole; inflating a chained body would feed
-                # zlib the outer encoding and void the entire file
+            if not all(n in _FILTER_DECODERS for n in names):
+                # a filter we cannot decode (DCTDecode images, JBIG2...):
+                # skip the stream whole rather than feed encoded bytes to
+                # the text scanner
                 continue
+            pm = re.search(rb"/Predictor\s+(\d+)", d)
+            if pm and int(pm.group(1)) > 1:
+                # Flate/LZW with a real PNG/TIFF predictor (xref and image
+                # streams): undoing it needs /Columns + /Colors context we
+                # don't parse — skip, stay honest (/Predictor 1 = none)
+                continue
+            # chains apply in ARRAY ORDER ([/ASCII85Decode /FlateDecode]
+            # = un-85 first, then inflate) — ISO 32000-1 §7.3.8.2.  A
+            # decode error on a SUPPORTED filter propagates: the stream
+            # is corrupt, so the whole file is unreadable → None,
+            # matching the reference's catch-and-skip per file
+            for n in names:
+                body = _FILTER_DECODERS[n](body)
         yield body
 
 
@@ -245,7 +377,12 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
     mid-line-split ``TJ`` array; bit 1 set → line 2 (if present) uses the
     ``'`` (next-line-show) operator instead of ``T* ... Tj``; bit 2 set →
     the content stream is Flate-compressed (``/Filter /FlateDecode``),
-    the form virtually every real paper PDF takes."""
+    the form virtually every real paper PDF takes; bit 3 set →
+    LZW-compressed instead (``/Filter /LZWDecode``, overrides bit 2);
+    bit 4 set → the compressed body is additionally ASCII85-wrapped and
+    the filter becomes the CHAIN ``[/ASCII85Decode /FlateDecode]`` (or
+    ``/LZWDecode`` per bit 3); bit 4 without bits 2-3 → plain text under
+    ``[/ASCII85Decode]``."""
     ops: list[str] = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
     for i, ln in enumerate(lines):
         use_tj = i == 1 and (variant & 1)
@@ -264,10 +401,22 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
             ops.append(f"({_esc(ln)}) Tj")
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")
-    filters = b""
-    if variant & 4:
+    chain: list[bytes] = []
+    if variant & 8:
+        content = _lzw_encode(content)
+        chain.append(b"/LZWDecode")
+    elif variant & 4:
         content = zlib.compress(content)
-        filters = b" /Filter /FlateDecode"
+        chain.append(b"/FlateDecode")
+    if variant & 16:
+        content = base64.a85encode(content) + b"~>"
+        chain.insert(0, b"/ASCII85Decode")
+    if len(chain) > 1:
+        filters = b" /Filter [" + b" ".join(chain) + b"]"
+    elif chain:
+        filters = b" /Filter " + chain[0]
+    else:
+        filters = b""
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",

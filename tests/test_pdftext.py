@@ -90,3 +90,63 @@ def test_nested_stream_dict_finds_outer_filter():
         + b" >>\nstream\n" + content + b"\nendstream endobj\n%%EOF"
     )
     assert py_pdf_text(pdf) == "nested\n"
+
+
+def test_lzw_roundtrip_and_edge_cases():
+    """From-scratch ISO 32000-1 §7.4.4 LZW pair: KwKwK strings, code-width
+    growth across 9→12 bits, and the 4094-entry table reset all round-trip;
+    the decoder's early-change rule matches PDFBox (widen when the DECODER
+    table reaches (1<<width)-1, one entry behind the encoder)."""
+    import random
+
+    from bingcrawler_spark.functions.pdftext import _lzw_decode, _lzw_encode
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"A",
+        b"AAAAAAA",  # KwKwK immediately after clear
+        b"TOBEORNOTTOBEORTOBEORNOT",
+        bytes(rng.getrandbits(8) for _ in range(5000)),  # width growth
+        b"ab" * 4000,
+        bytes(range(256)) * 20,
+        bytes(rng.getrandbits(8) for _ in range(40000)),  # table reset
+    ]
+    for c in cases:
+        assert _lzw_decode(_lzw_encode(c)) == c
+
+
+def test_ascii_transport_filters():
+    import base64
+
+    from bingcrawler_spark.functions.pdftext import _a85_decode, _ahx_decode
+
+    assert _a85_decode(base64.a85encode(b"hello world") + b"~>") == b"hello world"
+    assert _a85_decode(b"z~>") == b"\x00\x00\x00\x00"  # 'z' zero-group
+    assert _ahx_decode(b"48 65 6C 6C 6F>") == b"Hello"
+    assert _ahx_decode(b"486>") == b"H`"  # odd digit pads 0
+
+
+def test_lzw_and_chained_filter_variants():
+    """variant bits 3/4: /LZWDecode streams and [/ASCII85Decode
+    /FlateDecode] / [/ASCII85Decode /LZWDecode] chains (applied in array
+    order) extract the same text as the raw form."""
+    lines = ["alpha beta gamma", "delta (epsilon) zeta", "eta theta"]
+    expected = "\n".join(lines) + "\n"
+    for variant in range(32):
+        assert py_pdf_text(synth_pdf_bytes(lines, variant)) == expected, variant
+
+
+def test_unsupported_filter_and_predictor_skip_stream():
+    """DCTDecode (or any undecodable filter) and real predictors (>1) skip
+    the stream whole — never feed encoded bytes to the text scanner."""
+    lines = ["alpha beta"]
+    pdf = synth_pdf_bytes(lines, 0).replace(
+        b"<< /Length", b"<< /Filter /DCTDecode /Length"
+    )
+    assert py_pdf_text(pdf) == ""
+    pdf = synth_pdf_bytes(lines, 4).replace(
+        b"<< /Length",
+        b"<< /DecodeParms << /Predictor 12 /Columns 4 >> /Length",
+    )
+    assert py_pdf_text(pdf) == ""

@@ -21,6 +21,11 @@ order; ranked outputs carry no float columns (rank ties broken by id).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+# semdedup auto-sizing: target in-cell occupancy.  Pair work inside a cell
+# is quadratic BY DESIGN (that is the SemDeDup recipe), so the cell count
+# must grow with the corpus to keep sum(|cell|^2) ~ n * target.
+SEMDEDUP_CELL_TARGET = 256
 from pyspark.sql.window import Window as W
 
 
@@ -388,7 +393,7 @@ def embedding_clone_pairs_sql(
 def semdedup(
     corpus: DataFrame,
     min_cos_e4: int = 9990,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -410,7 +415,17 @@ def semdedup(
     assigned table would be written partitioned by cell so the self-join
     never shuffles the corpus twice).  The prune rule is a left-semi
     EXISTS, so the kept set needs no iterative connected components.
+
+    n_cells=None (the default) AUTO-SIZES to ~SEMDEDUP_CELL_TARGET vectors
+    per cell (one count() of the corpus): a fixed cell count turns the
+    in-cell self-join quadratic as the corpus grows — measured sf0.1→sf1
+    wall exponent 1.37 with n_cells pinned at 16, ~linear once the cell
+    count grows with the corpus (BENCH/SCALE_EXPONENTS.md).  The SQL twin
+    applies the same rule with a LIMIT subquery, so oracle parity holds at
+    every scale factor.
     """
+    if n_cells is None:
+        n_cells = max(16, corpus.count() // SEMDEDUP_CELL_TARGET)
     _, assigned = _ivf_assign(corpus, n_cells, id_col, vec_col, "vec_id", "vec")
     # branch point: the assignment feeds both semi-join sides and the
     # verdict — persist so the broadcast fan-out runs once, not thrice
@@ -446,18 +461,24 @@ def semdedup(
 def semdedup_sql(
     corpus_sql: str,
     min_cos_e4: int = 9990,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
     cos_cc = cosine_sql("c.vec", "cents.cent")
     cos_ab = cosine_sql("a.vec", "b.vec")
+    limit = (
+        str(n_cells)
+        if n_cells is not None
+        # the auto-sizing twin of semdedup(n_cells=None)
+        else f"greatest(16, (SELECT count(*) FROM c) // {SEMDEDUP_CELL_TARGET})"
+    )
     return f"""
     WITH c AS (SELECT {id_col} AS vec_id, {vec_col} AS vec
                FROM ({corpus_sql})),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                           vec AS cent
-                   FROM c ORDER BY vec_id LIMIT {n_cells}),
+                   FROM c ORDER BY vec_id LIMIT {limit}),
          assigned AS (
            SELECT vec_id, vec, cell FROM (
              SELECT c.vec_id, c.vec, cents.cell,

@@ -60,7 +60,13 @@ def _rounds_checked() -> dict[str, int]:
         if not isinstance(rows, dict):
             continue
         for name, row in rows.items():
-            ok = isinstance(row, dict) and row.get("rows_match") and not row.get("err")
+            if not isinstance(row, dict):
+                continue
+            # green = oracle-matched, or the rows-only form the driver
+            # records for the no-oracle ops (crawl_3waves, p12_simhash64)
+            ok = (row.get("rows_match") and not row.get("err")) or (
+                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
+            )
             counts[name] = counts.get(name, 0) + (1 if ok else 0)
     return counts
 

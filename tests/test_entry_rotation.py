@@ -1,0 +1,54 @@
+"""Driver-contract run-order rotation (VERDICT r3 task 1).
+
+The driver checks only the first ~50 ``queries()`` entries per round, so
+``__spark_entry__._ordered`` must put the least-verified queries first —
+computed from the CORRECTNESS_r*.json files in the repo root, so each
+round's window automatically covers what prior rounds missed.  No Spark
+session needed.
+"""
+
+import json
+
+import __spark_entry__ as E
+
+
+def test_least_verified_queries_lead_the_window():
+    counts = E._rounds_checked()
+    names = list(E.queries().keys())
+    assert names[-1] == "crawl_3waves"  # wall-clock long pole stays last
+    body = names[:-1]
+    keys = [counts.get(n, 0) for n in body]
+    assert keys == sorted(keys), "coverage counts must be non-decreasing"
+    # every never-checked query (if any) must precede every checked one
+    if 0 in keys and any(k > 0 for k in keys):
+        assert keys.index(1 if 1 in keys else min(k for k in keys if k)) >= (
+            len([k for k in keys if k == 0])
+        )
+
+
+def test_rounds_checked_counts_green_and_rows_only():
+    counts = E._rounds_checked()
+    # spot-check against the raw files: a hash-green row and a rows-only
+    # (no_oracle) row both count as coverage
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.abspath(E.__file__))
+    files = sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    assert files, "driver correctness files expected in repo root"
+    rows = json.load(open(files[0]))
+    for name, row in rows.items():
+        if row.get("rows_match") and not row.get("err"):
+            assert counts.get(name, 0) >= 1
+            break
+    for name, row in rows.items():
+        if row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
+            assert counts.get(name, 0) >= 1, name
+            break
+
+
+def test_queries_and_oracles_share_order_and_names():
+    qs, osql = E.queries(), E.oracle_sql()
+    assert set(osql) <= set(qs)
+    shared = [k for k in qs if k in osql]
+    assert shared == [k for k in osql]  # same relative order

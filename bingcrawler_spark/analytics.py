@@ -303,7 +303,18 @@ def banded_nn_report(
     the window's own (distance, t_b) sort order duplicates are adjacent:
     one lag() flags them and a running sum of the flag IS the distinct
     rank.  Dedup + rank fuse into the one window exchange (measured
-    7.6 s → 3.3 s at sf0.1, bit-identical output)."""
+    7.6 s → 3.3 s at sf0.1, bit-identical output).
+
+    PRECONDITION: `fps` must carry ONE fingerprint per title.  The
+    adjacency argument above needs every duplicate (t_a, t_b) pair to
+    share a distance; duplicate titles with different hashes would put
+    distinct (t_b, distance) rows non-adjacent in the sort and the fused
+    dedup would diverge from the old dropDuplicates form (which was
+    itself nondeterministic on that input — dropDuplicates picks an
+    arbitrary distance).  Both registered producers satisfy this (the
+    profiles corpus is title-keyed; r15_backfill anti-joins on title);
+    test_analytics::test_r12_banded_fused_tail_vs_old_tail pins the
+    tail equivalence."""
     cand = banded_candidates(fps, n_bands=n_bands, bits=bits)
     w = W.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
     is_first = F.coalesce(F.lag("t_b", 1).over(w) != F.col("t_b"), F.lit(True))

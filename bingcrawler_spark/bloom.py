@@ -102,8 +102,11 @@ class ShardedBloom:
         self.k = k
         self.capacity = capacity
         # cached sc.broadcast of the bitmap matrix (see might_contain_udf);
-        # invalidated whenever add_df mutates the shards
+        # invalidated whenever add_df mutates the shards, or when the
+        # SparkContext that created it is no longer the active one (a
+        # handle from a stopped context fails at task execution time)
         self._bc = None
+        self._bc_ctx = None
 
     def _invalidate_broadcast(self) -> None:
         if self._bc is not None:
@@ -112,6 +115,7 @@ class ShardedBloom:
             except Exception:
                 pass  # session may already be gone
             self._bc = None
+            self._bc_ctx = None
 
     @staticmethod
     def _partial_bitmaps(
@@ -206,13 +210,20 @@ class ShardedBloom:
         matrix too."""
         from pyspark.sql import SparkSession
 
-        # 2-D (n_shards × n_bytes) matrix → fully vectorized fancy indexing
-        matrix = np.stack([np.frombuffer(b, dtype=np.uint8) for b in self.shards])
         n_shards, m_bits, k = self.n_shards, self.m_bits, self.k
         sess = SparkSession.getActiveSession()
         if sess is not None:
-            if self._bc is None:
+            # Stack the 2-D (n_shards × n_bytes) matrix ONLY when a fresh
+            # broadcast is needed — at the 10^10-url design point the
+            # matrix is multi-GiB and an unconditional stack would pay
+            # that driver allocation on every probe call.
+            if self._bc is None or self._bc_ctx is not sess.sparkContext:
+                self._invalidate_broadcast()
+                matrix = np.stack(
+                    [np.frombuffer(b, dtype=np.uint8) for b in self.shards]
+                )
                 self._bc = sess.sparkContext.broadcast(matrix)
+                self._bc_ctx = sess.sparkContext
             bc = self._bc
 
             @F.pandas_udf(T.BooleanType())
@@ -220,6 +231,9 @@ class ShardedBloom:
                 return _probe_bloom(bc.value, values, n_shards, m_bits, k)
 
             return might_contain
+
+        # sessionless fallback (unit tests probing a freshly built filter)
+        matrix = np.stack([np.frombuffer(b, dtype=np.uint8) for b in self.shards])
 
         @F.pandas_udf(T.BooleanType())
         def might_contain_inline(values: pd.Series) -> pd.Series:

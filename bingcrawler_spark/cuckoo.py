@@ -174,8 +174,11 @@ class ShardedCuckoo:
         self.mask = n_buckets - 1
         self.capacity = capacity
         # cached sc.broadcast of the stacked tables (see might_contain_udf);
-        # invalidated whenever add_df/delete_df mutate the tables
+        # invalidated whenever add_df/delete_df mutate the tables, or when
+        # the SparkContext that created it is no longer the active one (a
+        # handle from a stopped context fails at task execution time)
         self._bc = None
+        self._bc_ctx = None
 
     def _invalidate_broadcast(self) -> None:
         if self._bc is not None:
@@ -184,6 +187,7 @@ class ShardedCuckoo:
             except Exception:
                 pass  # session may already be gone
             self._bc = None
+            self._bc_ctx = None
 
     # -- construction --------------------------------------------------------
     @staticmethod
@@ -330,8 +334,10 @@ class ShardedCuckoo:
         n_shards, mask = self.n_shards, self.mask
         sess = SparkSession.getActiveSession()
         if sess is not None:
-            if self._bc is None:
+            if self._bc is None or self._bc_ctx is not sess.sparkContext:
+                self._invalidate_broadcast()
                 self._bc = sess.sparkContext.broadcast(np.stack(self.tables))
+                self._bc_ctx = sess.sparkContext
             bc = self._bc
 
             @F.pandas_udf(T.BooleanType())

@@ -358,8 +358,14 @@ def host_hits(
     all over |hosts|-sized relations."""
     # persist the raw edge list FIRST: g and hosts both scan it, and when
     # the caller derives edges from a pandas-UDF link extraction the two
-    # unshared scans would each pay the full Python/Arrow pass
-    edges = edges.persist()
+    # unshared scans would each pay the full Python/Arrow pass.  If the
+    # caller already persisted edges for its own reuse, leave its cache
+    # alone (persisting is then a no-op and unpersisting here would evict
+    # the caller's data behind its back).
+    lvl = edges.storageLevel
+    edges_was_cached = lvl.useMemory or lvl.useDisk
+    if not edges_was_cached:
+        edges = edges.persist()
     g = edges.groupBy("s", "d").agg(F.count(F.lit(1)).alias("cnt")).persist()
     hosts = (
         edges.select(F.col("s").alias("host"))
@@ -427,7 +433,8 @@ def host_hits(
         F.col("h").alias("hub_fp"),
         F.col("a").alias("auth_fp"),
     ).localCheckpoint(eager=True)
-    for c in (edges, g, hosts, *halves):
+    caches = (g, hosts, *halves) if edges_was_cached else (edges, g, hosts, *halves)
+    for c in caches:
         c.unpersist()
     return out
 

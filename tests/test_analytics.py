@@ -290,3 +290,65 @@ def test_asof_join_semantics(spark):
     got = {r["event_id"]: r["asof_val"]
            for r in A.asof_join(events, quotes).collect()}
     assert got == {0: None, 1: 100, 2: 100, 3: 200, 4: 900, 5: None}
+
+
+# ------------------------------------------------- r12 banded fused tail
+
+
+def _old_banded_tail(cand, nearest):
+    """The pre-r4 tail of banded_nn_report: explicit dropDuplicates on the
+    directional pair then row_number over (distance, t_b).  Kept here as
+    the specification the fused lag+running-sum tail must reproduce."""
+    from pyspark.sql import Window, functions as F
+
+    w = Window.partitionBy("t_a").orderBy(F.col("distance").asc(), F.col("t_b").asc())
+    return (
+        cand.dropDuplicates(["t_a", "t_b"])
+        .withColumn("nn_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("nn_rank") <= nearest)
+        .select("t_a", "t_b", "distance", "nn_rank")
+    )
+
+
+def _fps_multiband(spark):
+    """Fingerprint corpus engineered for HEAVY multi-band duplicates:
+    clusters of identical hashes (pairs share all 4 bands -> 4 candidate
+    copies) plus 1-bit perturbations (share 3 bands -> 3 copies), so the
+    fused dedup actually has duplicates to collapse, plus distance ties
+    across several t_b to exercise the (distance, t_b) tie order."""
+    base = 0x0ABCDEF12345678
+    rows = []
+    for i in range(6):
+        rows.append((f"c{i:02d}", base))               # identical cluster
+    for i in range(6):
+        rows.append((f"p{i:02d}", base ^ (1 << i)))    # 1-bit flips, dist 2 pairs
+    for i in range(4):
+        rows.append((f"q{i:02d}", base ^ (0b11 << (15 * i))))  # per-band 2-bit flips
+    return spark.createDataFrame(rows, "title string, simhash long")
+
+
+def test_r12_banded_fused_tail_vs_old_tail(spark):
+    fps = _fps_multiband(spark)
+    cand = A.banded_candidates(fps).persist()
+    cand.count()
+    # sanity: the corpus really produces multi-band duplicate pairs
+    n_all = cand.count()
+    n_distinct = cand.dropDuplicates(["t_a", "t_b"]).count()
+    assert n_all > n_distinct
+    for nearest in (1, 3, 5):
+        got = sorted(map(tuple, A.banded_nn_report(fps, nearest=nearest).collect()))
+        want = sorted(map(tuple, _old_banded_tail(cand, nearest).collect()))
+        assert got == want
+    cand.unpersist()
+
+
+def test_r12_banded_equals_allpairs_within_pigeonhole(spark):
+    """On a corpus where every pairwise hamming distance < n_bands, the
+    pigeonhole guarantee makes the banded candidate set complete, so the
+    scale path must equal the exact all-pairs report row for row."""
+    base = 0x7777777777777777 & ((1 << 60) - 1)
+    rows = [("t%02d" % i, base ^ (1 << i) if i else base) for i in range(10)]
+    fps = spark.createDataFrame(rows, "title string, simhash long")
+    got = sorted(map(tuple, A.banded_nn_report(fps, nearest=4).collect()))
+    want = sorted(map(tuple, A.allpairs_simhash_report(fps, nearest=4).collect()))
+    assert got == want

@@ -695,7 +695,19 @@ def containment_pairs(
     corpus-wide) are dropped at `block_cap` docs — they are non-
     discriminative and would otherwise quadratically skew the
     self-join; the cap makes the block join's worst key O(cap²).
-    Verification is exact shingle intersection on candidates only."""
+    Verification is exact shingle intersection on candidates only.
+
+    The shingle/hash transform and the exact-intersection verify are
+    CPU-per-row, not shuffle, so they are floor-bound by the INPUT's
+    partition count: a small-file read (sf0.1 = 2 parquet splits) pinned
+    the whole query to 2 cores (r4's "unattributed 9 s constant" — the
+    scale exponent was 0.03 exactly because the wall was a parallelism
+    floor, not data).  Widen to the session's core count when the input
+    arrives narrower; at real scale the input already has more splits
+    than cores and this is a no-op."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     base = (
         docs.select(
             F.col(id_col).alias("doc"),

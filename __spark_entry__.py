@@ -86,4 +86,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return _ordered(dict(DQ.ORACLES))
+    # ORACLES values may be zero-arg callables (literal tables precomputed
+    # in Python over the gate corpus, e.g. ts_compression's zlib VALUES) —
+    # resolve them to plain SQL strings here, at contract-build time
+    return _ordered(
+        {k: (v() if callable(v) else v) for k, v in DQ.ORACLES.items()}
+    )

@@ -369,6 +369,7 @@ class CrawlEngine:
         # UDFs below use every core, then cache (it feeds fetch, settle AND
         # removal)
         top = top.repartition(self.cfg.n_partitions).cache()
+        _mark("prep_pre_pop", t0)  # rollback check + state reads + pop plan
         if timing is not None:
             # measurement-only extra action: materialize the pop cache by
             # itself so t_pop_topk isolates the top-k (merge task included)
@@ -466,6 +467,7 @@ class CrawlEngine:
         frontier_rest = frontier.join(top.select("url"), "url", "left_anti")
 
         bloom = None
+        _t_bloom = _tm()
         if self.cfg.use_bloom:
             # incremental: frontier ∪ seen only ever GROWS by each wave's
             # new rows, so the filter is built once (first wave / resume /
@@ -474,8 +476,18 @@ class CrawlEngine:
             # re-scan per wave
             n_existing = sizes["frontier"] + sizes["seen"]
             if self._bloom is None or self._bloom_items > self._bloom.capacity:
-                existing = frontier_rest.select("url").unionByName(
-                    seen_now.select("url")
+                # url set = frontier_rest ∪ seen ∪ this wave's settled rows.
+                # Settled urls ARE top's urls, so union the tiny cached
+                # `top` instead of `seen_now`: seen_now's settled branch
+                # rides the `parsed` cache, and materializing that cache
+                # computes ALL its columns — the build job would run the
+                # wave's three parse UDFs as a side effect (measured
+                # 27-33 s/build at the 262k protocol, the whole parse cost
+                # landing under the filter build instead of the writes)
+                existing = (
+                    frontier_rest.select("url")
+                    .unionByName(seen.select("url"))
+                    .unionByName(top.select("url"))
                 )
                 est = max(2 * n_existing + 1000, 1)
                 filter_cls = (
@@ -488,6 +500,9 @@ class CrawlEngine:
                 )
                 self._bloom_items = n_existing
             bloom = self._bloom
+        # wave-1 / overflow rebuilds run a real job here (partial-bitmap
+        # collect over the whole seen∪frontier) — attribute it
+        _mark("bloom_build", _t_bloom)
 
         new_rows, edges = FR.dedup_insert(
             cand,
@@ -525,6 +540,19 @@ class CrawlEngine:
         # delta rows are narrow, the exchange is cheap.
         from concurrent.futures import ThreadPoolExecutor
 
+        if timing is not None and "bloom_build" in timing:
+            # driver-side lineage construction (fetch/parse/settle/cand/
+            # dedup-insert plan assembly) between the pop action and the
+            # write staging, net of the bloom span already marked
+            timing["plan_build"] = round(
+                _tm()
+                - t0
+                - sum(
+                    timing.get(k, 0)
+                    for k in ("prep_pre_pop", "pop_topk", "bloom_build")
+                ),
+                3,
+            )
         _t = _tm()
         with ThreadPoolExecutor(max_workers=2) as pool:
             seen_fut = pool.submit(self.store.stage, "seen", seen_delta, "append")

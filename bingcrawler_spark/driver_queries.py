@@ -16,6 +16,8 @@ Each entry cites the reference routine it reproduces (SURVEY.md §2 ids).
 
 from __future__ import annotations
 
+import os
+
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -54,10 +56,13 @@ from bingcrawler_spark.functions.simhash import simhash64_udf
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
-ORACLES: dict[str, str] = {}
+# values are SQL strings, or zero-arg callables resolved lazily when the
+# contract's oracle_sql() is built (for oracles whose literal tables are
+# precomputed in Python from the gate corpus — see ts_compression)
+ORACLES: dict[str, "str | Callable[[], str]"] = {}
 
 
-def register(name: str, sql: str | None = None):
+def register(name: str, sql: "str | Callable[[], str] | None" = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
         if sql is not None:
@@ -4360,11 +4365,46 @@ def f15_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ts_compression")  # rows-only: DuckDB has no scalar zlib
+def _ts_compression_oracle() -> str:
+    """DuckDB has no scalar zlib, so the oracle is a literal VALUES table
+    of per-doc ratios precomputed in pure Python (pyarrow read + direct
+    zlib.compress — no Spark, no shared code with the query path) over
+    the gate corpus.  Resolved lazily when the contract's oracle_sql()
+    is built; SPARK_GRAFT_ORACLE_SF points it at a non-default sf dir
+    (tools/gatecheck.py sets it from its sf argument).  Same replicate-
+    the-computation-as-literals pattern ann_lsh_topk uses for its
+    hyperplanes — this upgrades ts_compression from rows-only to a full
+    value-hash check."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(
+        tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()
+    ):
+        raw_len = len(text) if text is not None else 0
+        zlib_len = (
+            len(zlib.compress(text.encode("utf-8"), 6)) if text is not None else 0
+        )
+        ratio_e4 = zlib_len * 10000 // max(raw_len, 1)
+        rows.append(f"({doc_id},{raw_len},{zlib_len},{ratio_e4})")
+    return (
+        "SELECT doc_id::BIGINT AS doc_id, raw_len::BIGINT AS raw_len, "
+        "zlib_len::BIGINT AS zlib_len, ratio_e4::BIGINT AS ratio_e4 "
+        "FROM (VALUES " + ",".join(rows) + ") t(doc_id, raw_len, zlib_len, ratio_e4)"
+    )
+
+
+@register("ts_compression", _ts_compression_oracle)
 def ts_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression ratio (RefinedWeb/Gopher quality heuristic) in
     1e-4 fixed point; pytest pins it byte-for-byte against direct
-    zlib.compress, which is exact — both sides call the same library."""
+    zlib.compress, which is exact — both sides call the same library.
+    Driver-checked against a precomputed literal VALUES oracle (see
+    _ts_compression_oracle)."""
     return TS.compression_ratio(_t(spark, sf_dir, "documents"))
 
 

@@ -53,6 +53,9 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
+    # lazily-resolved oracles (literal tables precomputed from the gate
+    # corpus) must read the SAME sf this gate run compares against
+    os.environ["SPARK_GRAFT_ORACLE_SF"] = sf_dir
     spark = get_spark("gatecheck", cores=8, shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:

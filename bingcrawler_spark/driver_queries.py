@@ -3647,10 +3647,11 @@ def s7_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 (PdfBox.java:15-48 via ProfileSimHashTask.java:94-124): write
     each document as a structurally complete one-page PDF (8 tokens per
     text line; doc_id%5==0 rows carry parens/backslash needing string
-    escapes; doc_id%32 rotates Tj / TJ-array / quote show operators AND
-    the stream encoding — raw, /FlateDecode, /LZWDecode, and
-    ASCII85-wrapped chains ([/ASCII85Decode /FlateDecode]), the forms
-    real paper PDFs take), then extract the text back with the
+    escapes; doc_id%64 rotates Tj / TJ-array / quote show operators AND
+    the stream encoding — raw, /FlateDecode, /LZWDecode, ASCII85-wrapped
+    chains ([/ASCII85Decode /FlateDecode]), and PNG-predicted Flate
+    (/DecodeParms /Predictor 12, rows cycling Up/Sub/Paeth/None/Average),
+    the forms real paper PDFs take), then extract the text back with the
     content-stream parser and fingerprint it with the oracle-checkable
     simhash60 — the reference's pdf → getText → getSimHash chain."""
     from bingcrawler_spark.functions import pdftext as PDF
@@ -3674,7 +3675,7 @@ def s7_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         d.select(
             did.alias("doc_id"),
-            PDF.synth_pdf_udf(lines, (did % 32).cast("int")).alias("pdf"),
+            PDF.synth_pdf_udf(lines, (did % 64).cast("int")).alias("pdf"),
             F.size(lines).cast("int").alias("n_lines"),
         )
         .select(

@@ -20,10 +20,13 @@ its content, so capability parity requires reading them, not skipping
 them.  Supported: ``/FlateDecode`` (zlib), ``/LZWDecode`` (from-scratch
 ISO 32000-1 §7.4.4 early-change decoder), ``/ASCII85Decode`` and
 ``/ASCIIHexDecode`` transport wrappers, and filter CHAINS applied in
-array order (``[/ASCII85Decode /FlateDecode]``).  Streams carrying any
-other filter (``/DCTDecode`` images etc.) or a ``/Predictor`` are
-skipped, and files that fail to parse at all yield ``None``, matching
-the reference's catch-and-skip on unreadable files
+array order (``[/ASCII85Decode /FlateDecode]``), plus ``/DecodeParms``
+predictors on Flate/LZW streams — the full PNG family (Predictor 10-15:
+per-row None/Sub/Up/Average/Paeth filter bytes) and 8-bit TIFF
+horizontal differencing (Predictor 2).  Streams carrying any other
+filter (``/DCTDecode`` images etc.) or a TIFF predictor on sub-byte
+components are skipped, and files that fail to parse at all yield
+``None``, matching the reference's catch-and-skip on unreadable files
 (ProfileSimHashTask.java:115-119).
 
 ``synth_pdf_bytes`` is the deterministic inverse used by tests and the s7
@@ -171,6 +174,98 @@ _FILTER_DECODERS = {
 }
 
 
+def _png_unpredict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo PNG row prediction (ISO 32000-1 §7.4.4.4 via RFC 2083 §6):
+    each row of columns·colors·bpc/8 bytes is preceded by one filter-type
+    byte — None/Sub/Up/Average/Paeth.  PDF predictor values 10-15 all
+    mean "PNG, per-row byte decides", so the decoder must handle every
+    filter regardless of the declared value (PDFBox does the same).  A
+    short final row is decoded as-is; a bad filter byte raises (corrupt
+    stream → whole file unreadable, the py_pdf_text contract)."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytes(rowlen)
+    i, n = 0, len(data)
+    while i < n:
+        ft = data[i]
+        row = bytearray(data[i + 1 : i + 1 + rowlen])
+        i += 1 + len(row)
+        if ft == 1:  # Sub
+            for j in range(bpp, len(row)):
+                row[j] = (row[j] + row[j - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for j in range(len(row)):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:  # Average
+            for j in range(len(row)):
+                left = row[j - bpp] if j >= bpp else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for j in range(len(row)):
+                a = row[j - bpp] if j >= bpp else 0
+                b = prev[j]
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                row[j] = (
+                    row[j] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"bad PNG predictor filter byte {ft}")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _png_predict(data: bytes, columns: int, colors: int = 1, bpc: int = 8) -> bytes:
+    """Forward PNG row prediction for the synthetic writer: rows cycle
+    through Up/Sub/Paeth/None/Average filter bytes so the decoder's every
+    arm is exercised by one fixture."""
+    bpp = max(1, (colors * bpc + 7) // 8)
+    rowlen = columns * bpp
+    out = bytearray()
+    prev = bytes(rowlen)
+    cycle = (2, 1, 4, 0, 3)
+    for r, start in enumerate(range(0, len(data), rowlen)):
+        row = data[start : start + rowlen]
+        ft = cycle[r % len(cycle)]
+        out.append(ft)
+        for j, v in enumerate(row):
+            a = row[j - bpp] if j >= bpp else 0
+            b = prev[j] if j < len(prev) else 0
+            if ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) >> 1
+            elif ft == 4:
+                c = prev[j - bpp] if j >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else b if pb <= pc else c
+            else:
+                pred = 0
+            out.append((v - pred) & 0xFF)
+        prev = row + bytes(rowlen - len(row))
+    return bytes(out)
+
+
+def _tiff_unpredict(data: bytes, columns: int, colors: int = 1) -> bytes:
+    """Undo TIFF predictor 2 (horizontal differencing, 8-bit components
+    only): per row, each byte is a delta from the byte one component
+    stride earlier.  No per-row filter bytes."""
+    bpp = max(1, colors)
+    rowlen = columns * bpp
+    out = bytearray(data)
+    for start in range(0, len(out), rowlen):
+        end = min(start + rowlen, len(out))
+        for j in range(start + bpp, end):
+            out[j] = (out[j] + out[j - bpp]) & 0xFF
+    return bytes(out)
+
+
 def _iter_stream_bodies(data: bytes):
     """Yield decoded stream bodies in document order.
 
@@ -229,10 +324,13 @@ def _iter_stream_bodies(data: bytes):
                 # the text scanner
                 continue
             pm = re.search(rb"/Predictor\s+(\d+)", d)
-            if pm and int(pm.group(1)) > 1:
-                # Flate/LZW with a real PNG/TIFF predictor (xref and image
-                # streams): undoing it needs /Columns + /Colors context we
-                # don't parse — skip, stay honest (/Predictor 1 = none)
+            pred = int(pm.group(1)) if pm else 1
+            bm = re.search(rb"/BitsPerComponent\s+(\d+)", d)
+            bpc = int(bm.group(1)) if bm else 8
+            if pred > 1 and not (pred >= 10 or (pred == 2 and bpc == 8)):
+                # TIFF predictor on sub-byte components — skip, stay
+                # honest rather than mis-decode (PNG 10-15 and 8-bit
+                # TIFF 2 are handled below)
                 continue
             # chains apply in ARRAY ORDER ([/ASCII85Decode /FlateDecode]
             # = un-85 first, then inflate) — ISO 32000-1 §7.3.8.2.  A
@@ -241,6 +339,17 @@ def _iter_stream_bodies(data: bytes):
             # matching the reference's catch-and-skip per file
             for n in names:
                 body = _FILTER_DECODERS[n](body)
+            if pred > 1 and (b"/FlateDecode" in names or b"/LZWDecode" in names):
+                # /DecodeParms predictors belong to Flate/LZW (§7.4.4.1):
+                # un-predict AFTER decompression
+                cm = re.search(rb"/Columns\s+(\d+)", d)
+                columns = int(cm.group(1)) if cm else 1
+                km = re.search(rb"/Colors\s+(\d+)", d)
+                colors = int(km.group(1)) if km else 1
+                if pred >= 10:
+                    body = _png_unpredict(body, columns, colors, bpc)
+                else:
+                    body = _tiff_unpredict(body, columns, colors)
         yield body
 
 
@@ -382,7 +491,10 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
     bit 4 set → the compressed body is additionally ASCII85-wrapped and
     the filter becomes the CHAIN ``[/ASCII85Decode /FlateDecode]`` (or
     ``/LZWDecode`` per bit 3); bit 4 without bits 2-3 → plain text under
-    ``[/ASCII85Decode]``."""
+    ``[/ASCII85Decode]``; bit 5 set → the content is PNG-row-predicted
+    (``/DecodeParms << /Predictor 12 /Columns 24 >>``, rows cycling
+    Up/Sub/Paeth/None/Average filter bytes) then Flate-compressed —
+    overriding bits 2-3; bit 4 still ASCII85-wraps the result."""
     ops: list[str] = ["BT", "/F1 12 Tf", "72 720 Td", "14 TL"]
     for i, ln in enumerate(lines):
         use_tj = i == 1 and (variant & 1)
@@ -402,7 +514,15 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
     ops.append("ET")
     content = "\n".join(ops).encode("latin-1")
     chain: list[bytes] = []
-    if variant & 8:
+    parms = b""
+    if variant & 32:
+        content = zlib.compress(_png_predict(content, columns=24))
+        chain.append(b"/FlateDecode")
+        parms = (
+            b" /DecodeParms << /Predictor 12 /Colors 1"
+            b" /BitsPerComponent 8 /Columns 24 >>"
+        )
+    elif variant & 8:
         content = _lzw_encode(content)
         chain.append(b"/LZWDecode")
     elif variant & 4:
@@ -412,9 +532,9 @@ def synth_pdf_bytes(lines: list[str], variant: int = 0) -> bytes:
         content = base64.a85encode(content) + b"~>"
         chain.insert(0, b"/ASCII85Decode")
     if len(chain) > 1:
-        filters = b" /Filter [" + b" ".join(chain) + b"]"
+        filters = b" /Filter [" + b" ".join(chain) + b"]" + parms
     elif chain:
-        filters = b" /Filter " + chain[0]
+        filters = b" /Filter " + chain[0] + parms
     else:
         filters = b""
 

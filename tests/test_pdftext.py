@@ -128,25 +128,57 @@ def test_ascii_transport_filters():
 
 
 def test_lzw_and_chained_filter_variants():
-    """variant bits 3/4: /LZWDecode streams and [/ASCII85Decode
+    """variant bits 3/4/5: /LZWDecode streams, [/ASCII85Decode
     /FlateDecode] / [/ASCII85Decode /LZWDecode] chains (applied in array
-    order) extract the same text as the raw form."""
+    order), and PNG-predicted Flate streams (/DecodeParms /Predictor 12,
+    rows cycling Up/Sub/Paeth/None/Average filter bytes, optionally
+    ASCII85-wrapped) all extract the same text as the raw form."""
     lines = ["alpha beta gamma", "delta (epsilon) zeta", "eta theta"]
     expected = "\n".join(lines) + "\n"
-    for variant in range(32):
+    for variant in range(64):
         assert py_pdf_text(synth_pdf_bytes(lines, variant)) == expected, variant
 
 
+def test_png_predictor_roundtrip_and_edges():
+    from bingcrawler_spark.functions.pdftext import (
+        _png_predict,
+        _png_unpredict,
+        _tiff_unpredict,
+    )
+
+    data = bytes(range(256)) * 3 + b"short-final-row"
+    for columns in (1, 3, 24, 1000):
+        assert _png_unpredict(_png_predict(data, columns), columns) == data
+    # multi-byte pixels: bpp = colors * bpc / 8 strides the Sub/Paeth refs
+    assert (
+        _png_unpredict(_png_predict(data, 8, colors=3), 8, colors=3) == data
+    )
+    # TIFF 2: horizontal differencing, no filter bytes
+    diffed = bytearray(b"\x05\x01\x01\x01")  # row of 4, cols=4
+    assert _tiff_unpredict(bytes(diffed), 4) == b"\x05\x06\x07\x08"
+
+
 def test_unsupported_filter_and_predictor_skip_stream():
-    """DCTDecode (or any undecodable filter) and real predictors (>1) skip
-    the stream whole — never feed encoded bytes to the text scanner."""
+    """DCTDecode (or any undecodable filter) and sub-byte TIFF predictors
+    skip the stream whole; a stream whose declared PNG predictor does not
+    match its bytes is corrupt → the file reads as None (decode errors
+    propagate, matching the reference's per-file catch)."""
     lines = ["alpha beta"]
     pdf = synth_pdf_bytes(lines, 0).replace(
         b"<< /Length", b"<< /Filter /DCTDecode /Length"
     )
     assert py_pdf_text(pdf) == ""
+    # TIFF predictor on 4-bit components: not decodable here — skip
+    pdf = synth_pdf_bytes(lines, 4).replace(
+        b"<< /Length",
+        b"<< /DecodeParms << /Predictor 2 /BitsPerComponent 4"
+        b" /Columns 4 >> /Length",
+    )
+    assert py_pdf_text(pdf) == ""
+    # PNG predictor declared over NON-predicted Flate bytes: the first
+    # "filter byte" is arbitrary zlib output -> corrupt stream -> None
     pdf = synth_pdf_bytes(lines, 4).replace(
         b"<< /Length",
         b"<< /DecodeParms << /Predictor 12 /Columns 4 >> /Length",
     )
-    assert py_pdf_text(pdf) == ""
+    assert py_pdf_text(pdf) in (None, "")

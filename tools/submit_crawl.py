@@ -40,7 +40,13 @@ def main() -> None:
     ap.add_argument("--waves", type=int, default=3)
     ap.add_argument("--wave-size", type=int, default=1000)
     ap.add_argument("--seeds", type=int, default=8)
-    ap.add_argument("--bloom", action=argparse.BooleanOptionalAction, default=True)
+    # default False: the r5 A/B at the 262k-wave protocol (BENCH/AB_CRAWL.md)
+    # measured the exact anti-join FASTER than the Bloom prefilter at
+    # sandbox state sizes (~1M rows: build 2.7+1.6 s + ~0.7 s delta/wave
+    # buys nothing the anti-join doesn't already do), with per-wave
+    # metrics identical both ways.  The prefilter pays at 10^10-url state,
+    # where the exact anti-join's probe side is the full seen table.
+    ap.add_argument("--bloom", action=argparse.BooleanOptionalAction, default=False)
     ap.add_argument("--fresh", action="store_true", help="bootstrap a new crawl")
     ap.add_argument(
         "--write-pages",

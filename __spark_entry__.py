@@ -44,13 +44,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # via entry()) goes LAST.
 
 
-def _rounds_checked() -> dict[str, int]:
-    """query name -> number of prior driver rounds with a green row."""
+def _rounds_checked() -> dict[str, float]:
+    """query name -> verification weight across prior driver rounds: a
+    value-hash-green row counts 1, a rows-only green row counts 0.5 (it
+    IS driver coverage, but the weaker kind — so a query whose oracle was
+    upgraded since its rows-only check sorts ahead of fully-verified
+    peers and gets its value-hash row at the next opportunity)."""
     import glob
     import json
 
     here = os.path.dirname(os.path.abspath(__file__))
-    counts: dict[str, int] = {}
+    counts: dict[str, float] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
@@ -62,12 +66,14 @@ def _rounds_checked() -> dict[str, int]:
         for name, row in rows.items():
             if not isinstance(row, dict):
                 continue
-            # green = oracle-matched, or the rows-only form the driver
-            # records for the no-oracle ops (crawl_3waves, p12_simhash64)
-            ok = (row.get("rows_match") and not row.get("err")) or (
-                row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0
-            )
-            counts[name] = counts.get(name, 0) + (1 if ok else 0)
+            if row.get("rows_match") and not row.get("err"):
+                counts[name] = counts.get(name, 0) + 1
+            elif row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
+                # rows-only green (the no-oracle ops, or an op whose
+                # oracle landed in a later round)
+                counts[name] = counts.get(name, 0) + 0.5
+            else:
+                counts.setdefault(name, 0)
     return counts
 
 

@@ -43,7 +43,11 @@ def test_rounds_checked_counts_green_and_rows_only():
             break
     for name, row in rows.items():
         if row.get("err") == "no_oracle" and (row.get("spark_rows") or 0) > 0:
-            assert counts.get(name, 0) >= 1, name
+            # rows-only coverage is counted, but at HALF weight — weaker
+            # verification sorts ahead of fully-verified peers so an
+            # upgraded oracle gets its value-hash row promptly
+            assert 0 < counts.get(name, 0) < 1 or counts.get(name, 0) >= 1, name
+            assert counts.get(name, 0) >= 0.5, name
             break
 
 

@@ -86,3 +86,73 @@ def test_hamming_col(spark):
     ).collect()
     for r in rows:
         assert r["d"] == r["expect"]
+
+
+# ------------------------------------------------ opt-in CJK max-match
+
+
+def test_fmm_segmentation_vectors():
+    from bingcrawler_spark.functions.simhash import _fmm_segment
+
+    lex = {"互联网", "技术", "中国", "中国人", "引擎", "分析"}
+    seg = lambda s: _fmm_segment(s, lex, 3)  # noqa: E731
+    assert seg("互联网技术") == ["互联网", "技术"]
+    # longest match wins: 中国人 beats 中国
+    assert seg("中国人") == ["中国人"]
+    # out-of-vocabulary chars fall back to single characters
+    assert seg("引擎狗分析") == ["引擎", "狗", "分析"]
+    assert seg("狗") == ["狗"]
+
+
+def test_cjk_tokenize_opt_in():
+    from bingcrawler_spark.functions.simhash import (
+        DEFAULT_CJK_LEXICON,
+        py_simhash64,
+        py_tokenize,
+    )
+
+    text = "spark搜索引擎数据分析 works"
+    # default path: the whole Han run is ONE token (round-1 behavior,
+    # bit-for-bit preserved)
+    assert sorted(py_tokenize(text)) == sorted(
+        ["spark搜索引擎数据分析", "works"]
+    )
+    # opt-in path: Han runs segment into lexicon words; latin unchanged
+    got = sorted(py_tokenize(text, DEFAULT_CJK_LEXICON))
+    assert got == sorted(["spark", "搜索", "引擎", "数据", "分析", "works"])
+    # fingerprints differ on Han text (tokenization changed)...
+    assert py_simhash64(text) != py_simhash64(text, DEFAULT_CJK_LEXICON)
+    # ...and are identical on pure-latin text (lexicon never matches)
+    latin = "the quick brown fox jumps"
+    assert py_simhash64(latin) == py_simhash64(latin, DEFAULT_CJK_LEXICON)
+
+
+def test_cjk_udf_matches_pure_python(spark):
+    from pyspark.sql import functions as F
+
+    from bingcrawler_spark.functions.simhash import (
+        DEFAULT_CJK_LEXICON,
+        make_simhash64_udf,
+        py_simhash64,
+        to_signed64,
+    )
+
+    rows = [
+        ("搜索引擎优化的数据分析方法",),
+        ("mixed中文and英文tokens here",),
+        ("plain english only",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    udf = make_simhash64_udf(DEFAULT_CJK_LEXICON)
+    got = {
+        r["text"]: r["fp"]
+        for r in df.select("text", udf(F.col("text")).alias("fp")).collect()
+    }
+    for (t,) in rows:
+        want = None if t is None else to_signed64(
+            py_simhash64(t, DEFAULT_CJK_LEXICON)
+        )
+        assert got[t] == want
+    # factory with no lexicon returns the default (registered) UDF
+    assert make_simhash64_udf(None).__name__ == "simhash64_udf"

@@ -111,6 +111,150 @@ def build_sf1(spark) -> None:
     open(os.path.join(SF1, "_BUILT"), "w").close()
 
 
+SF10 = "/tmp/sf10_scaled"
+N_SHARDS_10 = 100
+DECADE2_QUERIES = ["dd_semdedup", "r12_banded_nn"]
+
+
+def _sign_pattern(k: int, dim: int) -> list[float]:
+    """Deterministic ±1 diagonal per shard (md5 bits): preserves every
+    in-shard pairwise cosine exactly (common diagonal), decorrelates
+    cross-shard cosines even between shards sharing a rotation offset
+    (their patterns differ in ~dim/2 positions)."""
+    import hashlib
+
+    h = hashlib.md5(f"sfx-shard-{k}".encode()).digest()
+    bits = int.from_bytes(h, "big")
+    return [1.0 if (bits >> (i % 128)) & 1 else -1.0 for i in range(dim)]
+
+
+def build_sf10(spark) -> None:
+    """Second decade (VERDICT r4 task 8): 100 disjoint shards of sf0.1,
+    same growth model as build_sf1 — shard-salted tokens keep band
+    buckets sf0.1-sized while bucket COUNT grows 100x; embeddings get
+    rotation + per-shard sign-diagonal so in-shard structure is exact
+    and cross-shard cosines stay decorrelated even when two shards share
+    a rotation offset (100 shards > 64 dims)."""
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(SF10, "_BUILT")):
+        return
+    shutil.rmtree(SF10, ignore_errors=True)
+    os.makedirs(SF10, exist_ok=True)
+
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    doc_cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    shards = []
+    for k in range(N_SHARDS_10):
+        salted = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "), lambda x: F.concat(x, F.lit(f"_s{k}"))
+            ),
+            " ",
+        )
+        shards.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 10_000_000)).alias("doc_id"),
+                salted.alias("text"),
+                *[F.col(c) for c in doc_cols],
+            )
+        )
+    big_docs = shards[0]
+    for s in shards[1:]:
+        big_docs = big_docs.unionByName(s)
+    big_docs.repartition(64).write.mode("overwrite").parquet(
+        f"{SF10}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    eshards = []
+    for k in range(N_SHARDS_10):
+        r = k % dim
+        rot = (
+            F.col("embedding")
+            if r == 0
+            else F.concat(
+                F.slice(F.col("embedding"), r + 1, dim - r),
+                F.slice(F.col("embedding"), 1, r),
+            )
+        )
+        signs = F.array(*[F.lit(s) for s in _sign_pattern(k, dim)])
+        flipped = F.zip_with(rot, signs, lambda a, b: (a * b).cast("float"))
+        eshards.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 10_000_000)).alias("vec_id"),
+                flipped.alias("embedding"),
+                F.col("label"),
+            )
+        )
+    big_emb = eshards[0]
+    for s in eshards[1:]:
+        big_emb = big_emb.unionByName(s)
+    big_emb.repartition(64).write.mode("overwrite").parquet(
+        f"{SF10}/embeddings.parquet"
+    )
+
+    for t in os.listdir(SF01):
+        src, dst = os.path.join(SF01, t), os.path.join(SF10, t)
+        if os.path.exists(dst):
+            continue
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    open(os.path.join(SF10, "_BUILT"), "w").close()
+
+
+def decade2(reps: int) -> None:
+    """sf1 → sf10 exponents for the two highest decade-1 exponents
+    (dd_semdedup 0.84, r12_banded_nn 0.48): two decades distinguish a
+    trend from a one-off.  Appends a second table to SCALE_EXPONENTS.md."""
+    from bingcrawler_spark import driver_queries as DQ
+    from bingcrawler_spark.session import get_spark
+
+    spark = get_spark("scale_exponents2", cores=16, shuffle_partitions=64)
+    build_sf1(spark)
+    build_sf10(spark)
+    out = {"queries": {}, "reps": reps, "shards_sf10": N_SHARDS_10}
+    for name in DECADE2_QUERIES:
+        fn = DQ.QUERIES[name]
+        t1, r1 = time_query(spark, fn, SF1, reps)
+        t10, r10 = time_query(spark, fn, SF10, reps)
+        exp = round(math.log(t10 / t1) / math.log(10), 2)
+        out["queries"][name] = {
+            "sf1_s": round(t1, 2),
+            "sf10_s": round(t10, 2),
+            "rows_sf1": r1,
+            "rows_sf10": r10,
+            "wall_exponent": exp,
+        }
+        print(json.dumps({name: out["queries"][name]}), flush=True)
+    lines = [
+        "",
+        "## Second decade — sf1 → sf10 (100 shards, same growth model)",
+        "",
+        "Run for the two highest decade-1 exponents; a trend across two",
+        "decades is what separates 'measured once' from 'scales'.  The",
+        "100-shard corpus adds per-shard sign-diagonals on embeddings so",
+        "cross-shard cosines stay decorrelated past 64 rotations.",
+        f"Exponent = log10(t_sf10 / t_sf1); best-of-{reps} walls,",
+        "local[16], same session.",
+        "",
+        "| query | sf1 s | sf10 s | rows sf1 | rows sf10 | wall exponent |",
+        "|---|---|---|---|---|---|",
+    ]
+    for name, q in out["queries"].items():
+        lines.append(
+            f"| {name} | {q['sf1_s']} | {q['sf10_s']} | {q['rows_sf1']} "
+            f"| {q['rows_sf10']} | **{q['wall_exponent']}** |"
+        )
+    with open(os.path.join(HERE, "BENCH", "SCALE_EXPONENTS.md"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps(out), flush=True)
+    spark.stop()
+
+
 def time_query(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
     best, rows = math.inf, 0
     for _ in range(reps):
@@ -122,6 +266,10 @@ def time_query(spark, fn, sf_dir: str, reps: int) -> tuple[float, int]:
 
 
 def main() -> None:
+    if "--decade2" in sys.argv:
+        args = [a for a in sys.argv[1:] if a != "--decade2"]
+        decade2(int(args[0]) if args else 2)
+        return
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     from bingcrawler_spark import analytics as A
     from bingcrawler_spark import driver_queries as DQ

@@ -33,7 +33,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # the throughput-defining workload (shared by the main run and the
-# scaling workers): a politeness-budgeted, bloom-filtered crawl
+# scaling workers): a politeness-budgeted crawl on the exact-anti-join
+# dedup path — the r5 A/B (BENCH/AB_CRAWL.md) measured it faster than
+# the Bloom prefilter at sandbox state sizes with identical wave metrics
 CRAWL = dict(n_pages=60_000, n_hosts=1_024, n_seeds=8_192, wave_size=8_192, waves=3, n_words=250)
 
 # executor-side scaling workload: the fetch+parse+fingerprint stage of a
@@ -242,7 +244,7 @@ def run_crawl(spark) -> dict:
         robots_df(spark, CRAWL["n_hosts"]),
         CrawlConfig(
             wave_size=CRAWL["wave_size"],
-            use_bloom=True,
+            use_bloom=False,  # r5 A/B: exact anti-join wins at this scale
             n_partitions=int(spark.conf.get("spark.sql.shuffle.partitions")),
             extra_metrics=False,
         ),

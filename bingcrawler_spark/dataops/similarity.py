@@ -416,17 +416,35 @@ def semdedup(
     never shuffles the corpus twice).  The prune rule is a left-semi
     EXISTS, so the kept set needs no iterative connected components.
 
-    n_cells=None (the default) AUTO-SIZES to ~SEMDEDUP_CELL_TARGET vectors
-    per cell (one count() of the corpus): a fixed cell count turns the
-    in-cell self-join quadratic as the corpus grows — measured sf0.1→sf1
-    wall exponent 1.37 with n_cells pinned at 16, ~linear once the cell
-    count grows with the corpus (BENCH/SCALE_EXPONENTS.md).  The SQL twin
-    applies the same rule with a LIMIT subquery, so oracle parity holds at
-    every scale factor.
+    n_cells=None (the default) AUTO-SIZES the cell count to keep
+    ~SEMDEDUP_CELL_TARGET vectors per cell, using SIGN-LSH cells
+    (sign_bucket_col over the first n_bits dims, n_bits =
+    ceil_log2(ceil(n / target))): assignment is a shuffle-free per-row
+    expression, O(n·bits).  The r4 auto path kept the centroid
+    quantizer with n_cells = n/target, which silently made ASSIGNMENT
+    quadratic — every vector scored against n/256 centroids, measured
+    sf1→sf10 wall exponent 1.42 (BENCH/SCALE_EXPONENTS.md decade 2);
+    with sign cells the second decade is linear.  A fixed small
+    n_cells is quadratic the other way (in-cell join; exponent 1.37
+    measured in r4).  The SQL twin derives the same n_bits with
+    integer-exact math (smallest b with 2^b ≥ ceil(n/target)), so
+    oracle parity holds at every scale factor.  An EXPLICIT n_cells
+    keeps the centroid quantizer (the IVF-style mode whose cell count
+    the caller controls).
     """
     if n_cells is None:
-        n_cells = max(16, corpus.count() // SEMDEDUP_CELL_TARGET)
-    _, assigned = _ivf_assign(corpus, n_cells, id_col, vec_col, "vec_id", "vec")
+        n = corpus.count()
+        cells_needed = max(1, (n + SEMDEDUP_CELL_TARGET - 1) // SEMDEDUP_CELL_TARGET)
+        n_bits = min(20, max(4, (cells_needed - 1).bit_length()))
+        assigned = corpus.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("vec"),
+            sign_bucket_col(F.col(vec_col), n_bits).alias("cell"),
+        )
+    else:
+        _, assigned = _ivf_assign(
+            corpus, n_cells, id_col, vec_col, "vec_id", "vec"
+        )
     # branch point: the assignment feeds both semi-join sides and the
     # verdict — persist so the broadcast fan-out runs once, not thrice
     # (at 100 TB this is the write-partitioned-by-cell materialization)
@@ -465,20 +483,43 @@ def semdedup_sql(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> str:
-    cos_cc = cosine_sql("c.vec", "cents.cent")
     cos_ab = cosine_sql("a.vec", "b.vec")
-    limit = (
-        str(n_cells)
-        if n_cells is not None
-        # the auto-sizing twin of semdedup(n_cells=None)
-        else f"greatest(16, (SELECT count(*) FROM c) // {SEMDEDUP_CELL_TARGET})"
-    )
+    if n_cells is None:
+        # sign-LSH auto path: smallest b in [4, 20] with 2^b >= ceil(n /
+        # target), integer-exact so both engines derive the SAME n_bits;
+        # bucket bits unrolled to the max and gated by b < nb
+        max_bits = 20
+        bit_terms = " + ".join(
+            f"(CASE WHEN {i} < p.nb AND c.vec[{i + 1}]::DOUBLE >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(max_bits)
+        )
+        return f"""
+    WITH c AS (SELECT {id_col} AS vec_id, {vec_col} AS vec
+               FROM ({corpus_sql})),
+         p AS (SELECT least(20, greatest(4, (
+                 SELECT min(b) FROM (SELECT unnest(range(0, 31)) AS b)
+                 WHERE (1::BIGINT << b) >=
+                   ((SELECT count(*) FROM c) + {SEMDEDUP_CELL_TARGET} - 1)
+                     // {SEMDEDUP_CELL_TARGET}))) AS nb),
+         assigned AS (
+           SELECT c.vec_id, c.vec, ({bit_terms})::INT AS cell
+           FROM c CROSS JOIN p)
+    SELECT a.vec_id, a.cell::INT AS cell,
+           CASE WHEN EXISTS (
+             SELECT 1 FROM assigned b
+             WHERE b.cell = a.cell AND b.vec_id < a.vec_id
+               AND round({cos_ab} * 10000) >= {min_cos_e4}
+           ) THEN 0 ELSE 1 END AS kept
+    FROM assigned a
+    """
+    cos_cc = cosine_sql("c.vec", "cents.cent")
     return f"""
     WITH c AS (SELECT {id_col} AS vec_id, {vec_col} AS vec
                FROM ({corpus_sql})),
          cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                           vec AS cent
-                   FROM c ORDER BY vec_id LIMIT {limit}),
+                   FROM c ORDER BY vec_id LIMIT {n_cells}),
          assigned AS (
            SELECT vec_id, vec, cell FROM (
              SELECT c.vec_id, c.vec, cents.cell,
